@@ -1,0 +1,18 @@
+"""Test config: force CPU with 8 virtual devices and enable x64.
+
+This is the TPU-world equivalent of a fake backend for testing pjit sharding
+without a chip cluster (SURVEY.md §4): multi-chip tests build a Mesh over the
+8 virtual CPU devices.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

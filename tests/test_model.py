@@ -1,0 +1,122 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hlax.data.reader import encode_raw
+from hlax.models import HLVAE, HLVAEConfig, nll_from_log_p
+from hlax.ops import batch_normalization
+
+
+TYPES = [
+    {"type": "real", "dim": 1, "nclass": 1},
+    {"type": "cat", "dim": 1, "nclass": 3},
+    {"type": "ordinal", "dim": 1, "nclass": 4},
+    {"type": "count", "dim": 1, "nclass": 1},
+    {"type": "pos", "dim": 1, "nclass": 1},
+]
+
+RNG = np.random.default_rng(1)
+
+
+def _dataset(n=12):
+    raw = np.column_stack([
+        RNG.normal(0, 1, n),
+        RNG.integers(0, 3, n).astype(float),
+        RNG.integers(0, 4, n).astype(float),
+        RNG.integers(0, 7, n).astype(float),
+        RNG.random(n) * 4,
+    ])
+    miss = (RNG.random((n, 5)) > 0.25).astype(float)
+    return encode_raw(raw, TYPES, miss_mask=miss)
+
+
+def test_normalization_masked_moments():
+    ds = _dataset(50)
+    lay = ds.layout
+    norm, params = batch_normalization(
+        jnp.array(ds.data), jnp.array(ds.mask), lay, conv=False)
+    norm = np.asarray(norm)
+    # real group: masked z-score has ~0 mean, ~1 var over observed entries
+    g = [g for g in lay.groups if g.kind == "real"][0]
+    col = norm[:, g.exp_slice[0]]
+    m = ds.mask[:, g.raw_slice[0]]
+    obs = col[m == 1]
+    assert abs(obs.mean()) < 1e-8
+    assert abs(obs.var() - 1.0) < 1e-2   # (var+1e-5 regularizer)
+    # unobserved entries exactly zero
+    assert np.all(col[m == 0] == 0)
+    # count group: log of (data*mask), zero where missing
+    gc = [g for g in lay.groups if g.kind == "count"][0]
+    colc = norm[:, gc.exp_slice[0]]
+    mc = ds.mask[:, gc.raw_slice[0]]
+    datac = ds.data[:, gc.exp_slice[0]]
+    np.testing.assert_allclose(colc[mc == 1], np.log(datac[mc == 1]))
+    assert np.all(colc[mc == 0] == 0)
+    assert params.real_mean is not None and params.pos_mean_log is not None
+
+
+def test_mlp_forward_shapes_and_masking():
+    ds = _dataset(12)
+    cfg = HLVAEConfig(layout=ds.layout, z_dim=4, h_dims=(16,), y_dim=3,
+                      conv=False, dtype=jnp.float64)
+    model = HLVAE(cfg)
+    key = jax.random.PRNGKey(0)
+    data, mask = jnp.array(ds.data), jnp.array(ds.mask)
+    tmask = jnp.array(ds.theta_mask)
+    params = model.init(key, data, mask, tmask, key)
+    out = model.apply(params, data, mask, tmask, key)
+    assert out["mu"].shape == (12, 4)
+    assert out["log_p_x"].shape == (12, ds.layout.n_raw)
+    # observed/missing split is exact
+    lp, lpm = np.asarray(out["log_p_x"]), np.asarray(out["log_p_x_missing"])
+    m = np.asarray(mask)
+    assert np.all(lp[m == 0] == 0)
+    assert np.all(lpm[m == 1] == 0)
+    assert np.isfinite(lp).all() and np.isfinite(lpm).all()
+    nll = nll_from_log_p(out["log_p_x"])
+    assert nll.shape == (12,) and np.isfinite(np.asarray(nll)).all()
+
+
+def test_forward_jits_and_grads_flow():
+    ds = _dataset(8)
+    cfg = HLVAEConfig(layout=ds.layout, z_dim=3, h_dims=(8,), y_dim=2,
+                      conv=False, dtype=jnp.float64)
+    model = HLVAE(cfg)
+    key = jax.random.PRNGKey(0)
+    data, mask = jnp.array(ds.data), jnp.array(ds.mask)
+    tmask = jnp.array(ds.theta_mask)
+    params = model.init(key, data, mask, tmask, key)
+
+    @jax.jit
+    def loss_fn(p, k):
+        out = model.apply(p, data, mask, tmask, k)
+        return jnp.sum(nll_from_log_p(out["log_p_x"]))
+
+    g = jax.grad(loss_fn)(params, key)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    # at least some head gradient is non-zero
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
+
+
+def test_conv_forward_healthmnist_shape():
+    # D4-like layout: 324 real pixels + 972 cat(5) pixels, interleaved regions
+    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
+             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
+    n = 4
+    raw = np.column_stack([
+        RNG.random((n, 324)) * 255,
+        RNG.integers(0, 5, (n, 972)).astype(float),
+    ])
+    ds = encode_raw(raw, types)
+    cfg = HLVAEConfig(layout=ds.layout, z_dim=8, h_dims=(32,), y_dim=5,
+                      conv=True, dtype=jnp.float32)
+    model = HLVAE(cfg)
+    key = jax.random.PRNGKey(0)
+    data = jnp.array(ds.data, jnp.float32)
+    mask = jnp.array(ds.mask, jnp.float32)
+    tmask = jnp.array(ds.theta_mask, jnp.float32)
+    params = model.init(key, data, mask, tmask, key)
+    out = model.apply(params, data, mask, tmask, key)
+    assert out["log_p_x"].shape == (n, 1296)
+    assert np.isfinite(np.asarray(out["log_p_x"])).all()
