@@ -1,0 +1,278 @@
+"""End-to-end driver: config -> datasets -> model+GP -> train -> eval.
+
+Reference: /root/reference/HLVAE_main.py:30-423 and the epoch loop of
+``hensman_training`` (/root/reference/training.py:23-272).  Same config-file
+flags, same artifact names (diagnostics.pkl, validation_results.csv,
+result_error_*.csv, recon_complete*.pdf, checkpoints), same console lines.
+
+TPU-native differences: the per-batch step is one jitted XLA program over
+static padded shapes; checkpoints are a single orbax pytree; optional mesh
+sharding via --data_parallel.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import pickle
+import sys
+import time
+from timeit import default_timer as timer
+
+import numpy as np
+
+from hlax.config import ModelArgs
+
+
+def _resolve_dtype(name):
+    import jax
+    import jax.numpy as jnp
+    if name == "float64":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def run(opt: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from hlax.data.dataset import load_dataset, subject_batches, n_batches
+    from hlax.eval import images as im
+    from hlax.eval import testing as tst
+    from hlax.eval import validate as val
+    from hlax.gp.kernels import build_kernel_specs, noise_value
+    from hlax.models import HLVAE, HLVAEConfig
+    from hlax.train import checkpoint as ckpt
+    from hlax.train import step as tstep
+
+    save_path = opt["save_path"]
+    results_path = save_path + (opt.get("results_path") or "/results")
+    os.makedirs(save_path, exist_ok=True)
+    os.makedirs(results_path, exist_ok=True)
+
+    for key in sorted(opt):
+        print(f"{key}: {opt[key]}")
+
+    model_dtype = _resolve_dtype(opt.get("model_dtype", "float32"))
+    gp_dtype = _resolve_dtype(opt.get("gp_dtype", "float32"))
+
+    id_covariate = opt["id_covariate"]
+    latent_dim = opt["latent_dim"]
+
+    def mk_ds(data_key, label_key, mask_key, true_key):
+        return load_dataset(
+            opt["data_source_path"], opt[data_key], opt[label_key],
+            opt.get(mask_key), opt["csv_types_file"], opt.get(true_key) or None,
+            opt.get("csv_range_file"), id_covariate,
+            opt.get("logvar_network", False), opt.get("conv_hivae", False),
+            opt.get("use_ranges", False))
+
+    dataset = mk_ds("csv_file_data", "csv_file_label", "mask_file",
+                    "true_mask_file")
+    print(f"Length of dataset:  {len(dataset)}")
+    if not len(dataset):
+        print("ERROR: Dataset is empty")
+        sys.exit(1)
+
+    test_dataset = (mk_ds("csv_file_test_data", "csv_file_test_label",
+                          "test_mask_file", "true_test_mask_file")
+                    if opt.get("csv_file_test_data") else None)
+    prediction_dataset = (mk_ds("csv_file_prediction_data",
+                                "csv_file_prediction_label",
+                                "prediction_mask_file",
+                                "true_prediction_mask_file")
+                          if (opt.get("run_tests") or opt.get("generate_images"))
+                          and opt.get("csv_file_prediction_data") else None)
+    generation_dataset = (mk_ds("csv_file_generation_data",
+                                "csv_file_generation_label",
+                                "generation_mask_file",
+                                "true_generation_mask_file")
+                          if opt.get("generate_images") else None)
+    validation_dataset = (mk_ds("csv_file_validation_data",
+                                "csv_file_validation_label",
+                                "validation_mask_file",
+                                "true_validation_mask_file")
+                          if opt.get("run_validation") else None)
+
+    hidden_layers = opt.get("hidden_layers") or "[500]"
+    if isinstance(hidden_layers, str):
+        hidden_layers = ast.literal_eval(hidden_layers)
+
+    mcfg = HLVAEConfig(
+        layout=dataset.layout, z_dim=latent_dim, h_dims=tuple(hidden_layers),
+        y_dim=opt.get("y_dim") or 5, conv=opt.get("conv_hivae", False),
+        logvar_network=opt.get("logvar_network", False),
+        vy_init_real=opt.get("vy_init_real", 1.0),
+        vy_init_pos=opt.get("vy_init_pos", 0.5), dtype=model_dtype)
+    model = HLVAE(mcfg)
+
+    spec0, spec1 = build_kernel_specs(
+        opt.get("cat_kernel") or [], opt.get("bin_kernel") or [],
+        opt.get("sqexp_kernel") or [], opt.get("cat_int_kernel") or [],
+        opt.get("bin_int_kernel") or [], opt.get("covariate_missing_val") or [],
+        id_covariate)
+
+    cfg = tstep.TrainConfig(
+        latent_dim=latent_dim, M=opt["M"], P_tot=float(dataset.P),
+        N_tot=float(len(dataset)), id_covariate=id_covariate,
+        natural_gradient=opt.get("natural_gradient", True),
+        natural_gradient_lr=opt.get("natural_gradient_lr", 0.01),
+        constrain_scales=opt.get("constrain_scales", False),
+        gp_dtype=gp_dtype)
+
+    subjects_per_batch = opt.get("subjects_per_batch", 20)
+    batches = list(subject_batches(dataset, subjects_per_batch))
+    state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg,
+                                   seed=opt.get("seed", 0))
+    n_params = sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(state.vae))
+    print(f"Total Parameter Number is: {n_params}")
+
+    # warm start (HLVAE_main.py:163-167, 252-269)
+    restored = ckpt.restore(opt.get("gp_model_folder") or save_path, state,
+                            name=ckpt.EARLY_BEST_NAME
+                            if opt.get("early_stopping") else ckpt.FINAL_NAME)
+    if restored is not None:
+        state = restored
+        print("Loaded pre-trained values.")
+    else:
+        print("Did not load pre-trained values.")
+
+    step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
+    nb = n_batches(dataset, subjects_per_batch)
+    epochs = opt.get("epochs", 0)
+    validation_interval = 5
+    save_interval = opt.get("save_interval", 100)
+    rng = np.random.default_rng(opt.get("seed", 0))
+
+    loss_arrs = {k: [] for k in ("net", "nll", "kld")}
+    validation_curve = []
+    best_value, best_epoch = np.inf, 0
+
+    noise_fn = lambda s: noise_value(s.raw_noise, cfg.constrain_scales)
+
+    def encode_train():
+        mu, _ = val.encode_dataset(model, state.vae, dataset)
+        return mu, dataset.labels
+
+    profile_dir = opt.get("profile_dir") or ""
+
+    start = timer()
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        sums = {"net": 0.0, "nll": 0.0, "kld": 0.0}
+        if profile_dir and epoch == 2:
+            jax.profiler.start_trace(profile_dir)
+        for b in subject_batches(dataset, subjects_per_batch, rng):
+            state, metrics = step_fn(state, tstep.device_batch(b, model_dtype))
+            sums["net"] += float(metrics["loss"]) / nb
+            sums["nll"] += float(metrics["nll"]) / nb
+            sums["kld"] += float(metrics["kld"]) / nb
+        if profile_dir and epoch == 2:
+            jax.profiler.stop_trace()
+        print("Iter %d/%d - Time: %.3f  - Loss: %.3f  - GP loss: %.3f  "
+              "- NLL Loss: %.3f" % (epoch, epochs, time.time() - t0,
+                                    sums["net"], sums["kld"], sums["nll"]),
+              flush=True)
+        for k in loss_arrs:
+            loss_arrs[k].append(sums[k])
+
+        run_val = (validation_dataset is not None
+                   and (epoch % validation_interval == 0
+                        or epoch % save_interval == 0))
+        if run_val:
+            tv = time.time()
+            train_mu, train_x = encode_train()
+            df = val.validate(
+                model, state.vae, spec0, state.k0, spec1, state.k1,
+                noise_fn(state), state.zt, validation_dataset, train_mu,
+                train_x, id_covariate, results_path)
+            validation_curve.append(float(df.loc["net_loss"].iloc[0]))
+            print(f"Validation Duration: {time.time()-tv}")
+
+        if epoch % save_interval == 0:
+            im.plot_training_info(save_path, net_loss=loss_arrs["net"],
+                                  nll=loss_arrs["nll"], kld=loss_arrs["kld"],
+                                  validation_loss=validation_curve)
+            res = tst.hlvae_test(model, state.vae, dataset, test=False,
+                                 id_covariate=id_covariate, prnt=False)
+            with open(os.path.join(results_path,
+                                   "partial_metrics_training_VAE.pickle"),
+                      "wb") as f:
+                pickle.dump(res["partial_LL"], f)
+            if generation_dataset is not None and prediction_dataset is not None \
+                    and epoch != epochs:
+                pred_mu, _ = val.encode_dataset(model, state.vae,
+                                                prediction_dataset)
+                im.recon_complete_gen(
+                    model, state.vae, spec0, state.k0, spec1, state.k1,
+                    noise_fn(state), state.zt, generation_dataset,
+                    prediction_dataset.labels, pred_mu, id_covariate,
+                    results_path, epoch=epoch)
+
+        if run_val and epoch > 100:
+            if validation_curve[-1] < best_value:
+                best_value, best_epoch = validation_curve[-1], epoch
+                ckpt.save(save_path, state, name=ckpt.EARLY_BEST_NAME)
+
+    print("Duration of training: {:.2f} seconds".format(timer() - start))
+    print(f"Best epoch is {best_epoch}")
+
+    if opt.get("memory_dbg"):
+        for d in jax.local_devices():
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats:
+                print(f"Peak memory on {d}: "
+                      f"{stats.get('peak_bytes_in_use', 0)/(1024**2):.2f} MBs")
+
+    if epochs > 2 and not opt.get("early_stopping"):
+        print("Saving")
+        with open(os.path.join(save_path, "diagnostics.pkl"), "wb") as f:
+            pickle.dump([np.zeros(0)] + [np.asarray(loss_arrs[k])
+                                         for k in ("net", "nll", "kld")], f)
+        ckpt.save(save_path, state)
+
+    out = {"state": state, "model": model, "loss_arrs": loss_arrs}
+
+    # final validation (HLVAE_main.py:332-353)
+    if opt.get("run_validation") and validation_dataset is not None:
+        train_mu, train_x = encode_train()
+        val.validate(model, state.vae, spec0, state.k0, spec1, state.k1,
+                     noise_fn(state), state.zt, validation_dataset, train_mu,
+                     train_x, id_covariate, results_path)
+
+    pred_mu = None
+    if prediction_dataset is not None:
+        pred_mu, _ = val.encode_dataset(model, state.vae, prediction_dataset)
+
+    if test_dataset is not None:
+        res = tst.hlvae_test(model, state.vae, test_dataset, test=True,
+                             id_covariate=id_covariate)
+        with open(os.path.join(results_path,
+                               "partial_metrics_test_VAE.pickle"), "wb") as f:
+            pickle.dump(res["partial_LL"], f)
+
+    if opt.get("generate_images") and generation_dataset is not None \
+            and pred_mu is not None:
+        im.recon_complete_gen(
+            model, state.vae, spec0, state.k0, spec1, state.k1,
+            noise_fn(state), state.zt, generation_dataset,
+            prediction_dataset.labels, pred_mu, id_covariate, results_path)
+
+    if opt.get("run_tests") and test_dataset is not None and pred_mu is not None:
+        test_type = "early_stopping" if opt.get("early_stopping") else "final"
+        tst.mse_test_gp(model, state.vae, spec0, state.k0, spec1, state.k1,
+                        noise_fn(state), state.zt, test_dataset,
+                        prediction_dataset.labels, pred_mu, id_covariate,
+                        results_path, test_type=test_type)
+    return out
+
+
+def main(argv=None):
+    opt = ModelArgs().parse_options(argv)
+    return run(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Test-time metrics battery: encode/decode test + GP future prediction.
+
+Reference: ``HLVAETest`` and ``MSE_test_GPapprox``
+(/root/reference/model_test.py:19-275).  Outputs the same artifacts:
+``result_error_{final,early_stopping}.csv`` and the partial-metrics pickles.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from hlax.data.dataset import LongitudinalDataset
+from hlax.eval import metrics as mx
+from hlax.eval.validate import gp_predict_dataset
+from hlax.models.hlvae import nll_from_log_p
+from hlax.ops.normalization import batch_normalization
+
+
+def _unseen_frame_rows(ds: LongitudinalDataset, first_frames: int = 5
+                       ) -> np.ndarray:
+    """Frames first_frames..T-1 of each subject (model_test.py:67-68)."""
+    rows = []
+    for s in range(ds.P):
+        a, b = ds.subject_start[s], ds.subject_end[s]
+        rows.append(np.arange(a + first_frames, b))
+    return np.concatenate(rows) if rows else np.zeros(0, np.int64)
+
+
+def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
+                    rows: np.ndarray) -> Dict:
+    """Shared mean/mode/imputation error + partial LL computation."""
+    lay = ds.layout
+    truth = mx.discrete_transform(data, lay)
+    mean_rec, mode_rec = mx.statistics(params, lay, ds.conv)
+    tm = jnp.asarray(ds.het.true_mask, data.dtype)
+    sub = lambda a: a[jnp.asarray(rows)]
+
+    _, _, partial_mean = mx.error_computation(
+        sub(truth), sub(mean_rec), lay, sub(mask), conv=ds.conv,
+        use_ranges=ds.use_ranges, true_mask=sub(tm))
+    _, _, partial_mode = mx.error_computation(
+        sub(truth), sub(mode_rec), lay, sub(mask), conv=ds.conv,
+        use_ranges=ds.use_ranges, true_mask=sub(tm))
+    imputed = jnp.asarray(mx.mean_imputation(
+        np.asarray(sub(truth)), np.asarray(sub(mask)), lay), data.dtype)
+    _, _, partial_imp = mx.error_computation(
+        sub(truth), imputed, lay, sub(mask), conv=ds.conv,
+        use_ranges=ds.use_ranges, true_mask=sub(tm), mean_imp_error=True)
+    partial_ll = mx.partial_loglikelihood(
+        sub(log_p_x), sub(log_p_x_missing), lay, sub(mask), sub(tm))
+    return {
+        "partial_error_mean": jax.device_get(partial_mean),
+        "partial_error_mode": jax.device_get(partial_mode),
+        "impt_partial_error": jax.device_get(partial_imp),
+        "partial_LL": jax.device_get(partial_ll),
+        "mean_rec": mean_rec, "mode_rec": mode_rec, "truth": truth,
+    }
+
+
+def hlvae_test(model, vae_params, ds: LongitudinalDataset,
+               test: bool = False, id_covariate: int = 2, T: int = 20,
+               prnt: bool = True) -> Dict:
+    """Pure encode->decode metrics over a dataset (HLVAETest,
+    model_test.py:135-275): uses the q(z) mean, no sampling; with
+    ``test=True`` restricts to unseen frames 5..T-1 per subject."""
+    dt = model.cfg.dtype
+    het = ds.het
+    data = jnp.asarray(het.data, dt)
+    mask = jnp.asarray(het.mask, dt)
+    tmask = jnp.asarray(het.theta_mask, dt)
+    out = model.apply(vae_params, data, mask, tmask,
+                      jax.random.PRNGKey(0), sample=False)
+    rows = _unseen_frame_rows(ds, 5) if test else np.arange(len(ds))
+    res = _metric_battery(model, ds, data, mask, out["log_p_x"],
+                          out["log_p_x_missing"], out["params"], rows)
+    m_np = np.asarray(mask)[rows]
+    lp = np.asarray(out["log_p_x"])[rows]
+    lpm = np.asarray(out["log_p_x_missing"])[rows]
+    obs_density = lp[m_np == 1].mean() if (m_np == 1).any() else 0.0
+    mis_density = lpm[m_np == 0].mean() if (m_np == 0).any() else 0.0
+    if prnt:
+        print(f"Observed Density: {obs_density}")
+        print(f"Missing Density: {mis_density}")
+        for key in res["impt_partial_error"]:
+            print(f"Mean Impt. {key} missing error: "
+                  f"{np.mean(res['impt_partial_error'][key]['error_missing'])}")
+            print(f"Prediction (Mean) {key} missing error: "
+                  f"{np.mean(res['partial_error_mean'][key]['error_missing'])}")
+    res["observed_density"] = float(obs_density)
+    res["missing_density"] = float(mis_density)
+    return res
+
+
+def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
+                test_ds: LongitudinalDataset,
+                prediction_x: np.ndarray, prediction_mu: np.ndarray,
+                id_covariate: int, results_path: Optional[str] = None,
+                test_type: str = "final", eps: float = 1e-6) -> Dict:
+    """GP-predict z at test covariates, decode, report vs imputation baseline
+    (MSE_test_GPapprox, model_test.py:19-133)."""
+    z_pred = gp_predict_dataset(
+        spec0, k0, spec1, k1, noise, zt,
+        prediction_x, prediction_mu, prediction_x[:, id_covariate],
+        test_ds.labels, test_ds.labels[:, id_covariate], eps)
+
+    dt = model.cfg.dtype
+    het = test_ds.het
+    data = jnp.asarray(het.data, dt)
+    mask = jnp.asarray(het.mask, dt)
+    tmask = jnp.asarray(het.theta_mask, dt)
+    norm_data, norm_params = batch_normalization(
+        data, mask, test_ds.layout, test_ds.conv)
+    log_p_x, log_p_x_missing, params, _ = model.apply(
+        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params,
+        method=lambda mdl, z, d, m, tm, npm: mdl.decode(z, d, m, tm, npm))
+
+    rows = _unseen_frame_rows(test_ds, 5)
+    res = _metric_battery(model, test_ds, data, mask, log_p_x,
+                          log_p_x_missing, params, rows)
+    sub = lambda a: a[jnp.asarray(rows)]
+    rec_obs, rec_mis, _ = mx.error_computation(
+        sub(res["truth"]), sub(res["mean_rec"]), test_ds.layout, sub(mask),
+        conv=test_ds.conv, use_ranges=test_ds.use_ranges,
+        true_mask=sub(jnp.asarray(het.true_mask, dt)))
+    res["mean_GP_recon_loss"] = float(jnp.mean(rec_obs))
+    res["miss_recon_loss_GP"] = float(jnp.mean(rec_mis))
+    res["z_pred"] = z_pred
+
+    if results_path:
+        os.makedirs(results_path, exist_ok=True)
+        pd.DataFrame(
+            [res["mean_GP_recon_loss"], res["miss_recon_loss_GP"]],
+            index=["mean_GP_recon_loss", "miss_recon_loss_GP"]).to_csv(
+            os.path.join(results_path, f"result_error_{test_type}.csv"),
+            header=False)
+        with open(os.path.join(results_path,
+                               "partial_metrics_test_future.pickle"), "wb") as f:
+            pickle.dump([res["impt_partial_error"], res["partial_error_mean"],
+                         res["partial_error_mode"], res["partial_LL"]], f)
+    return res

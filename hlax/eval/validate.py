@@ -1,0 +1,225 @@
+"""Validation pass: full-set VAE metrics + DUBO GP loss + GP extrapolation.
+
+Reference: ``validate`` (/root/reference/validation.py:78-260).  Same
+structure and the same 10-row ``validation_results.csv`` output:
+
+  1. full-set forward -> NLL + per-type reconstruction errors;
+  2. GP loss via the deviance upper bound, computed per group of subjects
+     with equal sequence length (validation.py:160-174) — note this is the
+     reference's estimator, a sum of per-group bounds, not one joint bound;
+  3. extrapolation check: condition on training mu + the first
+     ``context_frames`` frames of each validation subject, predict z for all
+     frames, decode, report GP reconstruction error.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from hlax.data.dataset import LongitudinalDataset, full_padded
+from hlax.eval import metrics as mx
+from hlax.gp import elbo as gp_elbo
+from hlax.gp import kernels as gp_kernels
+from hlax.gp.predict import batch_predict, build_test_pred_map
+from hlax.models.hlvae import nll_from_log_p
+from hlax.ops.normalization import batch_normalization
+
+
+def encode_dataset(model, vae_params, ds: LongitudinalDataset,
+                   chunk: int = 1000):
+    """Full-dataset encoder pass in row chunks (normalization stats are
+    per-chunk, as in the reference's batch-1000 GP-init pass,
+    HLVAE_main.py:171-198).  Returns (mu [N, L], log_var [N, L]) numpy."""
+    dt = model.cfg.dtype
+    het = ds.het
+    n = len(ds)
+    mus, lvs = [], []
+    pad_to = chunk
+
+    @jax.jit
+    def enc(data, mask):
+        return model.apply(vae_params, data, mask, None, None,
+                           method=lambda mdl, d, m, *_: mdl.encode(d, m))
+
+    for i in range(0, n, chunk):
+        data = het.data[i:i + chunk]
+        mask = het.mask[i:i + chunk]
+        r = len(data)
+        if r < pad_to:   # pad for a single compiled shape
+            data = np.concatenate([data, np.zeros((pad_to - r,) + data.shape[1:])])
+            mask = np.concatenate([mask, np.zeros((pad_to - r,) + mask.shape[1:])])
+        mu, lv = enc(jnp.asarray(data, dt), jnp.asarray(mask, dt))
+        mus.append(np.asarray(mu)[:r])
+        lvs.append(np.asarray(lv)[:r])
+    return np.concatenate(mus), np.concatenate(lvs)
+
+
+def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
+    """Full-set forward -> nll sum, recon error sum, mu/log_var, like
+    validation.py:103-135."""
+    dt = model.cfg.dtype
+    het = ds.het
+    data = jnp.asarray(het.data, dt)
+    mask = jnp.asarray(het.mask, dt)
+    tmask = jnp.asarray(het.theta_mask, dt)
+    out = model.apply(vae_params, data, mask, tmask,
+                      jax.random.PRNGKey(rng_seed))
+    nll = float(jnp.sum(nll_from_log_p(out["log_p_x"])))
+    mean_rec, _ = mx.statistics(out["params"], ds.layout, ds.conv)
+    truth = mx.discrete_transform(data, ds.layout)
+    rec_obs, rec_mis, _ = mx.error_computation(
+        truth, mean_rec, ds.layout, mask, conv=ds.conv,
+        use_ranges=ds.use_ranges)
+    return {
+        "nll": nll,
+        "recon_loss": float(jnp.sum(rec_obs)),
+        "miss_recon_loss": float(jnp.sum(rec_mis)),
+        "mu": np.asarray(out["mu"]),
+        "log_var": np.asarray(out["log_var"]),
+    }
+
+
+def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
+                 mu, log_var, eps=1e-6):
+    """Sum of per-equal-T-group DUBOs (validation.py:160-174)."""
+    lengths = ds.subject_end - ds.subject_start
+    total = 0.0
+    gdt = zt.dtype
+    for T in np.unique(lengths):
+        sel = np.nonzero(lengths == T)[0]
+        S = len(sel)
+        x_st = np.zeros((S, T, ds.Q))
+        mu_st = np.zeros((S, T, mu.shape[1]))
+        lv_st = np.zeros((S, T, mu.shape[1]))
+        for i, s in enumerate(sel):
+            a, b = ds.subject_start[s], ds.subject_end[s]
+            x_st[i], mu_st[i], lv_st[i] = ds.labels[a:b], mu[a:b], log_var[a:b]
+        val = gp_elbo.deviance_upper_bound(
+            spec0, k0, spec1, k1, noise, zt,
+            jnp.asarray(x_st, gdt), jnp.ones((S, T), gdt),
+            jnp.asarray(mu_st, gdt), jnp.asarray(lv_st, gdt), eps)
+        total += float(val)
+    return total
+
+
+def gp_predict_dataset(spec0, k0, spec1, k1, noise, zt,
+                       pred_x: np.ndarray, pred_mu: np.ndarray,
+                       pred_subject_col: np.ndarray,
+                       test_x: np.ndarray, test_subject_col: np.ndarray,
+                       eps=1e-6) -> np.ndarray:
+    """Z prediction at test covariates given (pred_x, pred_mu) context.
+
+    Host-side packing of the per-subject padded structures + one device call
+    (replaces the subject loops of utils.py:137-188)."""
+    gdt = zt.dtype
+    L = zt.shape[0]
+    # pack prediction rows subject-major (order of first appearance)
+    _, first = np.unique(pred_subject_col, return_index=True)
+    subj = pred_subject_col[np.sort(first)]
+    rows = [np.nonzero(pred_subject_col == s)[0] for s in subj]
+    Tp = max(len(r) for r in rows)
+    Sp = len(subj)
+    x_st = np.zeros((Sp, Tp, pred_x.shape[1]))
+    mu_st = np.zeros((Sp, Tp, L))
+    valid = np.zeros((Sp, Tp))
+    flat_of = np.full((Sp, Tp), 0, dtype=np.int64)
+    for i, r in enumerate(rows):
+        x_st[i, :len(r)] = pred_x[r]
+        mu_st[i, :len(r)] = pred_mu[r]
+        valid[i, :len(r)] = 1
+        flat_of[i, :len(r)] = np.arange(i * Tp, i * Tp + len(r))
+
+    # map test rows to their subject's prediction rows
+    test_subjects, t_first = np.unique(test_subject_col, return_index=True)
+    test_subjects = test_subject_col[np.sort(t_first)]
+    pred_flat_subj = np.zeros(Sp * Tp)
+    for i, s in enumerate(subj):
+        pred_flat_subj[i * Tp:(i + 1) * Tp] = s
+    # padded pred rows must never match a test subject: mark with NaN-ish id
+    pad_rows = (valid.reshape(-1) == 0)
+    pred_flat_subj[pad_rows] = np.nan
+    idx, val = build_test_pred_map(pred_flat_subj, test_subjects)
+    sub_index = {s: i for i, s in enumerate(test_subjects)}
+    test_subj_of_row = np.asarray([sub_index[s] for s in test_subject_col])
+
+    z = batch_predict(
+        spec0, k0, spec1, k1, noise, zt,
+        jnp.asarray(x_st, gdt), jnp.asarray(valid, gdt), jnp.asarray(mu_st, gdt),
+        jnp.asarray(test_x, gdt), idx, val, test_subj_of_row, eps)
+    return np.asarray(z)
+
+
+def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
+             val_ds: LongitudinalDataset,
+             train_mu: np.ndarray, train_x: np.ndarray,
+             id_covariate: int, results_path: Optional[str],
+             context_frames: Optional[int] = None,
+             eps: float = 1e-6) -> pd.DataFrame:
+    """Full validation pass -> 10-row results frame (validation.py:246-259)."""
+    fm = forward_metrics(model, vae_params, val_ds)
+    nll_loss_sum = fm["nll"]
+    recon_loss_sum = float(fm["recon_loss"])
+    gp_loss_sum = gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, val_ds,
+                               fm["mu"], fm["log_var"], eps)
+    net_loss_sum = gp_loss_sum + nll_loss_sum
+
+    # --- GP extrapolation check (validation.py:182-244) ------------------
+    k = context_frames if context_frames is not None else (5 if val_ds.conv else 2)
+    ctx_rows = np.concatenate([
+        np.arange(val_ds.subject_start[s],
+                  min(val_ds.subject_start[s] + k, val_ds.subject_end[s]))
+        for s in range(val_ds.P)])
+    pred_x = np.concatenate([train_x, val_ds.labels[ctx_rows]])
+    pred_mu = np.concatenate([train_mu, fm["mu"][ctx_rows]])
+    test_x = val_ds.labels
+    z_pred = gp_predict_dataset(
+        spec0, k0, spec1, k1, noise, zt,
+        pred_x, pred_mu, pred_x[:, id_covariate],
+        test_x, test_x[:, id_covariate], eps)
+
+    dt = model.cfg.dtype
+    het = val_ds.het
+    data = jnp.asarray(het.data, dt)
+    mask = jnp.asarray(het.mask, dt)
+    tmask = jnp.asarray(het.theta_mask, dt)
+    norm_data, norm_params = batch_normalization(data, mask, val_ds.layout,
+                                                 val_ds.conv)
+    log_p_x, _, params, _ = model.apply(
+        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params,
+        method=lambda mdl, z, d, m, tm, npm: mdl.decode(z, d, m, tm, npm))
+    mean_rec, _ = mx.statistics(params, val_ds.layout, val_ds.conv)
+    truth = mx.discrete_transform(data, val_ds.layout)
+    gp_obs, gp_mis, _ = mx.error_computation(
+        truth, mean_rec, val_ds.layout, mask, conv=val_ds.conv,
+        use_ranges=val_ds.use_ranges)
+    recon_loss_GP = float(jnp.sum(gp_obs))
+    miss_recon_loss_GP = float(jnp.sum(gp_mis))
+    n_vars = val_ds.layout.n_raw
+
+    results = [
+        recon_loss_sum / len(val_ds),
+        recon_loss_GP / n_vars,
+        0.0,                                  # vae_mse placeholder (reference keeps 0)
+        fm["miss_recon_loss"] / len(val_ds),
+        miss_recon_loss_GP / n_vars,
+        net_loss_sum,
+        gp_loss_sum,
+        nll_loss_sum,
+        recon_loss_sum,
+        recon_loss_GP,
+    ]
+    df = pd.DataFrame(results, index=[
+        "vae_error", "GP_error", "vae_mse", "miss_vae_error", "miss_GP_error",
+        "net_loss", "GP_loss", "nll_loss", "recon_loss_sum",
+        "GP_recon_loss_sum"])
+    if results_path:
+        os.makedirs(results_path, exist_ok=True)
+        df.to_csv(os.path.join(results_path, "validation_results.csv"),
+                  header=False)
+    return df

@@ -1,0 +1,190 @@
+"""Jitted training step: VAE NLL + sparse-GP KLD bound + optax/natural-grad.
+
+Reference semantics: ``hensman_training`` (/root/reference/training.py:23-137)
+and the optimizer assembly in HLVAE_main.py:231-278:
+
+  * loss = sum(nll) * P/P_batch + KLD_upper_bound     (training.py:121-124)
+  * Adam(lr=1e-3) over {kernel0, kernel1, zt, vae [, m, H] [, noise]}
+  * when natural_gradient: (m, H) leave Adam and get the closed-form natural
+    update after each step (training.py:130-137), with H maintained PSD.
+
+TPU-native: the whole step — forward, bound, backward, Adam, natural-gradient
+Cholesky updates — is ONE jitted XLA program over static padded shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hlax.gp import elbo as gp_elbo
+from hlax.gp import kernels as gp_kernels
+from hlax.models.hlvae import HLVAE, nll_from_log_p
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    latent_dim: int
+    M: int
+    P_tot: float            # subjects in the dataset
+    N_tot: float            # rows in the dataset
+    id_covariate: int
+    lr: float = 1e-3
+    natural_gradient: bool = True
+    natural_gradient_lr: float = 0.01
+    constrain_scales: bool = True
+    eps: float = 1e-6
+    gp_dtype: Any = jnp.float32
+
+
+class TrainState(NamedTuple):
+    vae: Any                  # flax param tree
+    k0: Any                   # kernel0 params (list of dicts, leading L axis)
+    k1: Any
+    raw_noise: jnp.ndarray    # [L]
+    zt: jnp.ndarray           # [L, M, Q]
+    m: jnp.ndarray            # [L, M, 1]
+    H: jnp.ndarray            # [L, M, M] (PSD iff natural_gradient)
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def _trainable(state: TrainState, cfg: TrainConfig) -> Dict[str, Any]:
+    t = {"vae": state.vae, "k0": state.k0, "k1": state.k1, "zt": state.zt}
+    if not cfg.constrain_scales:
+        t["raw_noise"] = state.raw_noise
+    if not cfg.natural_gradient:
+        t["m"] = state.m
+        t["H"] = state.H
+    return t
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adam(cfg.lr)
+
+
+def init_train_state(
+    model: HLVAE,
+    spec0, spec1,
+    example_batch: Dict[str, np.ndarray],
+    cfg: TrainConfig,
+    seed: int = 0,
+    zt_init: Optional[np.ndarray] = None,
+) -> TrainState:
+    """Build the initial state (HLVAE_main.py:200-278 semantics):
+    inducing points from random training covariates, m ~ N(0,1),
+    H = R/10 (RR^T if natural gradient)."""
+    key = jax.random.PRNGKey(seed)
+    k_vae, k_m, k_h, k_z, k_run = jax.random.split(key, 5)
+    dt = cfg.gp_dtype
+    data = jnp.asarray(example_batch["data"], model.cfg.dtype)
+    mask = jnp.asarray(example_batch["mask"], model.cfg.dtype)
+    tmask = jnp.asarray(example_batch["theta_mask"], model.cfg.dtype)
+    vae = model.init(k_vae, data, mask, tmask, k_vae)
+
+    L, M = cfg.latent_dim, cfg.M
+    labels = np.asarray(example_batch["labels"])
+    Q = labels.shape[1]
+    if zt_init is None:
+        rows = labels[np.asarray(example_batch["idx"]) >= 0]
+        rng = np.random.default_rng(seed)
+        zt_init = np.stack([
+            rows[rng.choice(len(rows), M, replace=len(rows) < M)]
+            for _ in range(L)])
+    zt = jnp.asarray(zt_init, dt)
+
+    m = jax.random.normal(k_m, (L, M, 1), dt)
+    H = jax.random.normal(k_h, (L, M, M), dt) / 10.0
+    if cfg.natural_gradient:
+        H = jnp.einsum("lmn,lon->lmo", H, H)
+
+    k0 = gp_kernels.init_kernel_params(spec0, L, dt)
+    k1 = gp_kernels.init_kernel_params(spec1, L, dt)
+    raw_noise = gp_kernels.noise_init(L, cfg.constrain_scales, dt)
+
+    state = TrainState(vae=vae, k0=k0, k1=k1, raw_noise=raw_noise, zt=zt,
+                       m=m, H=H, opt_state=None, step=jnp.zeros((), jnp.int32),
+                       rng=k_run)
+    opt_state = make_optimizer(cfg).init(_trainable(state, cfg))
+    return state._replace(opt_state=opt_state)
+
+
+def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
+    """Returns jit-ready ``step(state, batch) -> (state, metrics)``.
+
+    ``batch`` is a dict of arrays with S*T_max flat rows: data, mask,
+    theta_mask, labels, and valid [S, T_max].
+    """
+    tx = make_optimizer(cfg)
+
+    def loss_fn(train, fixed, batch, rng):
+        p = {**train, **fixed}
+        out = model.apply(p["vae"], batch["data"], batch["mask"],
+                          batch["theta_mask"], rng)
+        nll = jnp.sum(nll_from_log_p(out["log_p_x"]))
+
+        valid = batch["valid"]
+        S, T = valid.shape
+        gdt = cfg.gp_dtype
+        x_st = batch["labels"].reshape(S, T, -1).astype(gdt)
+        mu_st = out["mu"].reshape(S, T, -1).astype(gdt)
+        log_v_st = out["log_var"].reshape(S, T, -1).astype(gdt)
+
+        H = p["H"]
+        PSD_H = H if cfg.natural_gradient else jnp.einsum("lmn,lon->lmo", H, H)
+        noise = gp_kernels.noise_value(p["raw_noise"], cfg.constrain_scales)
+        kld, gm, gH = gp_elbo.kld_upper_bound(
+            spec0, p["k0"], spec1, p["k1"], noise, p["m"], PSD_H, p["zt"],
+            x_st, valid.astype(gdt), mu_st, log_v_st,
+            cfg.P_tot, cfg.N_tot, cfg.eps,
+            natural_gradient=cfg.natural_gradient)
+
+        P_batch = jnp.sum((valid.sum(axis=1) > 0).astype(nll.dtype))
+        nll_scaled = nll * cfg.P_tot / P_batch
+        loss = nll_scaled + kld.astype(nll.dtype)
+        aux = {"nll": nll_scaled, "kld": kld, "grad_m": gm, "grad_H": gH,
+               "mu": out["mu"], "log_var": out["log_var"],
+               "log_p_x": out["log_p_x"]}
+        return loss, aux
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        rng, sub = jax.random.split(state.rng)
+        train = _trainable(state, cfg)
+        fixed = {k: getattr(state, k)
+                 for k in ("vae", "k0", "k1", "zt", "raw_noise", "m", "H")
+                 if k not in train}
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train, fixed, batch, sub)
+        updates, opt_state = tx.update(grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+
+        new = state._replace(opt_state=opt_state, step=state.step + 1, rng=rng,
+                             **train)
+        if cfg.natural_gradient:
+            m_new, H_new = gp_elbo.natural_gradient_update(
+                state.m, state.H,
+                jax.lax.stop_gradient(aux["grad_m"]),
+                jax.lax.stop_gradient(aux["grad_H"]),
+                cfg.natural_gradient_lr)
+            new = new._replace(m=m_new, H=H_new)
+        metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"]}
+        return new, metrics
+
+    return step
+
+
+def device_batch(batch: Dict[str, np.ndarray], dtype) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for k, v in batch.items():
+        if k == "idx":
+            out[k] = jnp.asarray(v)
+        else:
+            out[k] = jnp.asarray(v, dtype)
+    return out

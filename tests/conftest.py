@@ -3,10 +3,12 @@
 This is the TPU-world equivalent of a fake backend for testing pjit sharding
 without a chip cluster (SURVEY.md §4): multi-chip tests build a Mesh over the
 8 virtual CPU devices.
+
+NOTE: in this environment the axon TPU plugin overrides the JAX_PLATFORMS
+env var, so the platform must be forced through jax.config AFTER import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +17,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

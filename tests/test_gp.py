@@ -1,0 +1,254 @@
+"""GP layer tests: kernels, KLD bound oracle, DUBO, nat-grads, prediction."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hlax.gp import kernels as K
+from hlax.gp import elbo as E
+from hlax.gp.predict import batch_predict, build_test_pred_map
+
+RNG = np.random.default_rng(3)
+
+L, M, Q = 2, 5, 3
+S, T = 4, 3
+EPS = 1e-6
+ID_COV = 2   # subject id column
+
+
+def _specs():
+    # canonical-style: cat(id) -> spec1; rbf(time 0) -> spec0;
+    # interaction cat(id)*rbf(0) -> spec1; cat(gender 1)*rbf(0) -> spec0
+    return K.build_kernel_specs(
+        cat_kernel=[ID_COV], bin_kernel=[], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": ID_COV},
+                        {"cont_covariate": 0, "cat_covariate": 1}],
+        bin_int_kernel=[], covariate_missing_val=[], id_covariate=ID_COV)
+
+
+def _covariates(s=S, t=T):
+    x = np.zeros((s, t, Q))
+    x[:, :, 0] = np.arange(t)[None, :] + RNG.normal(0, .1, (s, t))  # time
+    x[:, :, 1] = RNG.integers(0, 2, (s, 1))                          # gender
+    x[:, :, 2] = np.arange(s)[:, None]                               # subject
+    return x
+
+
+def _params(spec):
+    p = K.init_kernel_params(spec, L)
+    # perturb so latent dims differ
+    return jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(RNG.normal(0, 0.2, a.shape)), p)
+
+
+def test_spec_composer_routing():
+    spec0, spec1 = _specs()
+    kinds0 = [tuple(f.kind for f in c.factors) for c in spec0.components]
+    kinds1 = [tuple(f.kind for f in c.factors) for c in spec1.components]
+    assert kinds1 == [("cat",), ("cat", "rbf")]
+    assert kinds0 == [("rbf",), ("cat", "rbf")]
+
+
+def test_kernel_values():
+    spec0, spec1 = _specs()
+    p1 = _params(spec1)
+    x = _covariates(2, 2).reshape(4, Q)
+    km = np.asarray(K.kernel_matrix(spec1, p1, jnp.array(x), jnp.array(x)))
+    assert km.shape == (L, 4, 4)
+    # cross-subject entries are zero for spec1 (both components involve cat(id))
+    subj = x[:, ID_COV]
+    cross = subj[:, None] != subj[None, :]
+    assert np.all(km[:, cross] == 0)
+    # same-subject same-time diagonal: softplus(os1) + softplus(os2)*rbf(0)=sum
+    for l in range(L):
+        os_ = [float(jax.nn.softplus(p["raw_os"][l])) for p in p1]
+        np.testing.assert_allclose(np.diagonal(km[l]), os_[0] + os_[1], rtol=1e-6)
+    # rbf decay: same subject, different time
+    ls = float(jax.nn.softplus(p1[1]["raw_ls_1"][0]))
+    dt = x[0, 0] - x[1, 0]
+    expect = (float(jax.nn.softplus(p1[0]["raw_os"][0]))
+              + float(jax.nn.softplus(p1[1]["raw_os"][0]))
+              * np.exp(-0.5 * (dt / ls) ** 2))
+    np.testing.assert_allclose(km[0, 0, 1], expect, rtol=1e-6)
+
+
+def _bound_inputs(s=S, t=T, valid=None):
+    spec0, spec1 = _specs()
+    p0, p1 = _params(spec0), _params(spec1)
+    x_st = _covariates(s, t)
+    if valid is None:
+        valid = np.ones((s, t))
+    z = np.stack([x_st.reshape(-1, Q)[RNG.choice(s * t, M, replace=False)]
+                  for _ in range(L)])
+    m = RNG.normal(0, 1, (L, M, 1))
+    Hh = RNG.normal(0, 1, (L, M, M)) / 3
+    H = Hh @ np.swapaxes(Hh, -1, -2) + 0.5 * np.eye(M)
+    mu = RNG.normal(0, 1, (s, t, L)) * valid[:, :, None]
+    log_v = RNG.normal(-1, .3, (s, t, L))
+    noise = np.ones(L)
+    return (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v)
+
+
+def _np_kld_oracle(spec0, p0, spec1, p1, noise, m, H, z, x_st, valid,
+                   mu, log_v, P_tot, N_tot):
+    """Independent per-subject-loop oracle of elbo_functions.py:196-277."""
+    def kmat(spec, p, l, a, b):
+        out = np.asarray(K.kernel_matrix(
+            spec, p, jnp.array(a), jnp.array(b)))[l]
+        return out
+
+    s_count, t_count = valid.shape
+    A = B = C = D = Eterm = 0.0
+    for l in range(L):
+        K0zz = kmat(spec0, p0, l, z[l], z[l]) + EPS * np.eye(M)
+        iK0zz = np.linalg.inv(K0zz)
+        for s in range(s_count):
+            rows = valid[s] > 0
+            if not rows.any():
+                continue
+            x = x_st[s][rows]
+            Tn = x.shape[0]
+            K0xz = kmat(spec0, p0, l, x, z[l])
+            K0 = kmat(spec0, p0, l, x, x)
+            B_st = kmat(spec1, p1, l, x, x) + noise[l] * np.eye(Tn)
+            iB = np.linalg.inv(B_st)
+            fit = (K0xz @ iK0zz @ m[l])[:, 0] - mu[s][rows, l]
+            A += fit @ iB @ fit
+            B += np.sum(np.diag(iB) * np.exp(log_v[s][rows, l]))
+            C += np.linalg.slogdet(B_st)[1]
+            KziBK = K0xz.T @ iB @ K0xz
+            D += np.sum(iB * K0) - np.sum(KziBK * iK0zz)
+            Eterm += np.sum((iK0zz @ H[l] @ iK0zz) * KziBK)
+    F = np.sum(log_v[valid > 0])
+    tr1 = qf1 = logdetK = logdetH = 0.0
+    for l in range(L):
+        K0zz = kmat(spec0, p0, l, z[l], z[l]) + EPS * np.eye(M)
+        iK0zz = np.linalg.inv(K0zz)
+        tr1 += np.sum(iK0zz * H[l].T)
+        qf1 += float(m[l].T @ iK0zz @ m[l])
+        logdetK += np.linalg.slogdet(K0zz)[1]
+        logdetH += np.linalg.slogdet(H[l])[1]
+    kld_qu_pu = 0.5 * (tr1 + qf1 - L * M + logdetK - logdetH)
+    P_batch = (valid.sum(1) > 0).sum()
+    return (P_tot / P_batch * 0.5 * (A + B + C + D + Eterm - F)
+            + kld_qu_pu - L * N_tot / 2)
+
+
+def test_kld_matches_numpy_oracle():
+    inp = _bound_inputs()
+    got, _, _ = E.kld_upper_bound(
+        *[jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp],
+        P_tot=10.0, N_tot=30.0, eps=EPS)
+    want = _np_kld_oracle(*inp, P_tot=10.0, N_tot=30.0)
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+
+
+def test_kld_padding_invariance():
+    # varying-T: subject 0 has 3 rows, subject 1 has 1, subject 2 has 2
+    valid = np.array([[1, 1, 1], [1, 0, 0], [1, 1, 0], [1, 1, 1]], dtype=float)
+    inp = _bound_inputs(valid=valid)
+    got, gm, gH = E.kld_upper_bound(
+        *[jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp],
+        P_tot=8.0, N_tot=20.0, eps=EPS, natural_gradient=True)
+    want = _np_kld_oracle(*inp, P_tot=8.0, N_tot=20.0)
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+    assert np.isfinite(np.asarray(gm)).all() and np.isfinite(np.asarray(gH)).all()
+
+    # extra padding (bigger T_max) must not change the value
+    T2 = T + 2
+    pad = lambda a: np.concatenate(
+        [a, np.zeros(a.shape[:1] + (T2 - T,) + a.shape[2:])], axis=1)
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, _, mu, log_v) = inp
+    got2, _, _ = E.kld_upper_bound(
+        spec0, p0, spec1, p1, jnp.asarray(noise), jnp.asarray(m),
+        jnp.asarray(H), jnp.asarray(z), jnp.asarray(pad(x_st)),
+        jnp.asarray(pad(valid)), jnp.asarray(pad(mu)), jnp.asarray(pad(log_v)),
+        P_tot=8.0, N_tot=20.0, eps=EPS)
+    np.testing.assert_allclose(float(got2), float(got), rtol=1e-8)
+
+
+def test_natural_gradients_match_autodiff():
+    """With P_tot == P_batch the closed-form (grad_m, grad_H) equal autodiff
+    gradients of the bound (elbo_functions.py:184-192)."""
+    inp = _bound_inputs()
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v) = [
+        jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp]
+
+    def bound(m_, H_):
+        out, _, _ = E.kld_upper_bound(
+            spec0, p0, spec1, p1, noise, m_, H_, z, x_st, valid, mu, log_v,
+            P_tot=float(S), N_tot=float(S * T), eps=EPS)
+        return out
+
+    _, gm, gH = E.kld_upper_bound(
+        spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v,
+        P_tot=float(S), N_tot=float(S * T), eps=EPS, natural_gradient=True)
+    am, aH = jax.grad(bound, argnums=(0, 1))(m, H)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(am), rtol=1e-6, atol=1e-8)
+    # autodiff d/dH is symmetrized differently; compare symmetric parts
+    sym = lambda A: 0.5 * (A + np.swapaxes(A, -1, -2))
+    np.testing.assert_allclose(sym(np.asarray(gH)), sym(np.asarray(aH)),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_dubo_finite_and_padding_invariant():
+    valid = np.array([[1, 1, 1], [1, 1, 0], [1, 1, 1], [1, 0, 0]], dtype=float)
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, _, mu, log_v) = _bound_inputs(
+        valid=valid)
+    args = (spec0, p0, spec1, p1, jnp.asarray(noise), jnp.asarray(z))
+    d1 = E.deviance_upper_bound(*args, jnp.asarray(x_st), jnp.asarray(valid),
+                                jnp.asarray(mu), jnp.asarray(log_v), EPS)
+    T2 = T + 2
+    pad = lambda a: np.concatenate(
+        [a, np.zeros(a.shape[:1] + (T2 - T,) + a.shape[2:])], axis=1)
+    d2 = E.deviance_upper_bound(*args, jnp.asarray(pad(x_st)),
+                                jnp.asarray(pad(valid)), jnp.asarray(pad(mu)),
+                                jnp.asarray(pad(log_v)), EPS)
+    assert np.isfinite(float(d1))
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-10)
+
+
+def test_predict_matches_dense_woodbury_oracle():
+    """Z_pred equals (Q0* + K1*) (Q0 + B)^-1 mu with Q0 the Nystrom kernel."""
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v) = \
+        _bound_inputs()
+    test_x = _covariates(S, 2).reshape(-1, Q)   # same subjects, new times
+    subj_ids = x_st[:, 0, ID_COV]
+    idx, val = build_test_pred_map(
+        x_st.reshape(-1, Q)[:, ID_COV], subj_ids)
+    test_subj_of_row = np.repeat(np.arange(S), 2)
+
+    got = batch_predict(
+        spec0, p0, spec1, p1, jnp.asarray(noise), jnp.asarray(z),
+        jnp.asarray(x_st), jnp.asarray(valid), jnp.asarray(mu),
+        jnp.asarray(test_x), idx, val, test_subj_of_row, EPS)
+    got = np.asarray(got)
+
+    xf = x_st.reshape(-1, Q)
+    for l in range(L):
+        km = lambda sp, pp, a, b: np.asarray(
+            K.kernel_matrix(sp, pp, jnp.array(a), jnp.array(b)))[l]
+        K0xz = km(spec0, p0, xf, z[l])
+        K0zz = km(spec0, p0, z[l], z[l]) + EPS * np.eye(M)
+        Q0 = K0xz @ np.linalg.inv(K0zz) @ K0xz.T
+        K1f = km(spec1, p1, xf, xf)
+        Sigma = Q0 + K1f + noise[l] * np.eye(S * T)
+        Q0s = km(spec0, p0, test_x, z[l]) @ np.linalg.inv(K0zz) @ K0xz.T
+        K1s = km(spec1, p1, test_x, xf)
+        want = (Q0s + K1s) @ np.linalg.inv(Sigma) @ mu.reshape(-1, L)[:, l]
+        np.testing.assert_allclose(got[:, l], want, rtol=1e-6, atol=1e-8)
+
+
+def test_natural_gradient_update_math():
+    m = jnp.asarray(RNG.normal(0, 1, (L, M, 1)))
+    Hh = RNG.normal(0, 1, (L, M, M)) / 3
+    H = jnp.asarray(Hh @ np.swapaxes(Hh, -1, -2) + np.eye(M))
+    gm = jnp.asarray(RNG.normal(0, .1, (L, M, 1)))
+    gH = jnp.asarray(RNG.normal(0, .01, (L, M, M)))
+    m2, H2 = E.natural_gradient_update(m, H, gm, gH, lr=0.01)
+    iH = np.linalg.inv(np.asarray(H))
+    iH_new = iH + 0.01 * (np.asarray(gH) + np.swapaxes(np.asarray(gH), -1, -2))
+    H_want = np.linalg.inv(iH_new)
+    m_want = H_want @ (iH @ np.asarray(m)
+                       - 0.01 * (np.asarray(gm) - 2 * np.asarray(gH) @ np.asarray(m)))
+    np.testing.assert_allclose(np.asarray(H2), H_want, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(m2), m_want, rtol=1e-8)
