@@ -1,0 +1,118 @@
+"""End-to-end pipeline: generate Health-MNIST -> CSVs -> CLI train -> eval.
+
+Exercises the same surface as the reference run command
+``python HLVAE_main.py --f=config.txt`` (README.MD:19) at toy scale:
+conv HLVAE, GP prior with the canonical kernel structure, validation,
+tests, image generation, artifacts on disk.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from hlax.data import generate as gen
+from hlax.cli import generate as gen_cli
+from hlax.cli import main as main_cli
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hm_data")
+    gen_cli.main([
+        "--destination", str(d), "--num_3", "2", "--num_6", "2",
+        "--missing", "25", "--datatype_config", "D4", "--seed", "1",
+        "--splits", "prediction,test,validation",
+    ])
+    return d
+
+
+def test_generator_output_shapes(data_dir):
+    data = np.loadtxt(os.path.join(data_dir, "prediction_data_D4.csv"),
+                      delimiter=",")
+    assert data.shape == (4 * 20, 1296)
+    # D4: region_1 stays real-valued 0..255; regions 2-4 quantized to 5 levels
+    r1, r2, r3, r4 = gen.region_indices()
+    for reg in (r2, r3, r4):
+        assert set(np.unique(data[:, reg])) <= {25., 75., 125., 175., 225.}
+    lab = np.loadtxt(os.path.join(data_dir, "prediction_label.csv"),
+                     delimiter=",", skiprows=1)
+    assert lab.shape == (80, 8)
+    # 20 timepoints per subject, 4 subjects
+    assert len(np.unique(lab[:, 0])) == 4
+    mask = np.loadtxt(os.path.join(data_dir, "prediction_mask.csv"),
+                      delimiter=",")
+    frac = mask.mean()
+    assert 0.70 < frac < 0.80   # 25% missing
+
+
+def test_cli_train_eval_pipeline(data_dir, tmp_path):
+    save = tmp_path / "run"
+    cfg_file = tmp_path / "cfg.txt"
+    # canonical config-file format (config/hlvae_config_file.txt), toy scale
+    cfg_file.write_text("\n".join([
+        f"--data_source_path={data_dir}",
+        f"--save_path={save}",
+        "--results_path=/results",
+        "--csv_types_file=data_types_D4.csv",
+        "--csv_file_data=prediction_data_D4.csv",
+        "--csv_file_label=prediction_label.csv",
+        "--mask_file=prediction_mask.csv",
+        "--csv_file_test_data=test_data_D4.csv",
+        "--csv_file_test_label=test_label.csv",
+        "--test_mask_file=test_mask.csv",
+        "--csv_file_prediction_data=prediction_data_D4.csv",
+        "--csv_file_prediction_label=prediction_label.csv",
+        "--prediction_mask_file=prediction_mask.csv",
+        "--csv_file_validation_data=validation_data_D4.csv",
+        "--csv_file_validation_label=validation_label.csv",
+        "--validation_mask_file=validation_mask.csv",
+        "--csv_file_generation_data=test_data_D4.csv",
+        "--csv_file_generation_label=test_label.csv",
+        "--generation_mask_file=test_mask.csv",
+        "--varying_T=True",
+        "--latent_dim=4",
+        "--id_covariate=2",
+        "--M=8",
+        "--P=4",
+        "--T=20",
+        "--epochs=3",
+        "--save_interval=30",
+        "--num_dim=1296",
+        "--type_KL=GPapprox_closed",
+        "--subjects_per_batch=2",
+        "--natural_gradient=True",
+        "--constrain_scales=True",
+        "--run_tests=True",
+        "--run_validation=True",
+        "--generate_images=True",
+        "--cat_kernel=[2]",
+        "--bin_kernel=[]",
+        "--sqexp_kernel=[0]",
+        "--cat_int_kernel=[{'cont_covariate':0,'cat_covariate':2}]",
+        "--bin_int_kernel=[]",
+        "--covariate_missing_val=[]",
+        "--hidden_layers=[32]",
+        "--conv_hivae=True",
+        "--y_dim=3",
+        "--gp_dtype=float64",
+        "--model_dtype=float64",
+    ]))
+    out = main_cli.main([f"--f={cfg_file}"])
+    assert np.isfinite(out["loss_arrs"]["net"]).all()
+    results = str(save) + "/results"
+    assert os.path.exists(os.path.join(results, "validation_results.csv"))
+    assert os.path.exists(os.path.join(results, "result_error_final.csv"))
+    assert os.path.exists(os.path.join(results,
+                                       "partial_metrics_test_VAE.pickle"))
+    assert os.path.exists(os.path.join(results,
+                                       "partial_metrics_test_future.pickle"))
+    assert os.path.exists(os.path.join(results, "recon_complete.pdf"))
+    assert os.path.isdir(os.path.join(str(save), "final"))   # orbax checkpoint
+    # validation CSV has the reference's 10 named rows
+    import pandas as pd
+    df = pd.read_csv(os.path.join(results, "validation_results.csv"),
+                     header=None, index_col=0)
+    assert list(df.index) == [
+        "vae_error", "GP_error", "vae_mse", "miss_vae_error", "miss_GP_error",
+        "net_loss", "GP_loss", "nll_loss", "recon_loss_sum",
+        "GP_recon_loss_sum"]
