@@ -1,0 +1,323 @@
+"""Reference-equivalent CPU baseline for bench.py (measurement harness only).
+
+The reference (MineOgre/HL-VAE) cannot run in this image (gpytorch is not
+installed), so this script measures a faithful plain-torch float64 CPU
+replica of its canonical-config training step (SURVEY.md §6 baseline
+protocol, BASELINE.md):
+
+  * conv HLVAE forward/backward (one-hot representation layer, 2x conv+pool
+    encoder, deconv decoder, per-type einsum heads with observed/missing
+    routing under no_grad) — structure of /root/reference/HLVAE.py:104-475;
+  * masked batch normalization and the real/cat log-likelihoods
+    (HL_VAE/utils.py:88-143, HL_VAE/loglik.py:27-146);
+  * the varying-T mini-batched KLD upper bound with its per-subject Python
+    loop and per-subject Cholesky factorizations
+    (elbo_functions.py:196-285), with the canonical kernel structure
+    (cat(id), rbf(time), three cat x rbf interactions) in plain torch;
+  * Adam step + closed-form natural-gradient (m, H) update
+    (training.py:106-137).
+
+Float64 CPU matches the reference's dtype/device story (HLVAE_main.py:85,158).
+Writes baselines/baseline_cpu.json with the measured steps/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+torch.manual_seed(0)
+DT = torch.float64
+P_SUBJ, T, LATENT, M, S_BATCH = 200, 20, 32, 120, 20
+N_REAL, N_CAT, NCLASS = 324, 972, 5
+Y_DIM, HID = 5, 500
+EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# kernels (canonical config structure) in plain torch, batched over latent
+# ---------------------------------------------------------------------------
+
+class Kernels:
+    def __init__(self):
+        sp_inv = float(np.log(np.expm1(2.5)))
+        # spec0: rbf(time0) + cat(gender3)*rbf(time0) + cat(disease4)*rbf(dtime1)
+        # spec1: cat(subj2) + cat(subj2)*rbf(time0)
+        self.p = {
+            "os0": torch.zeros(LATENT, dtype=DT, requires_grad=True),
+            "ls0": torch.full((LATENT,), sp_inv, dtype=DT, requires_grad=True),
+            "os1": torch.zeros(LATENT, dtype=DT, requires_grad=True),
+            "ls1": torch.full((LATENT,), sp_inv, dtype=DT, requires_grad=True),
+            "os2": torch.zeros(LATENT, dtype=DT, requires_grad=True),
+            "ls2": torch.full((LATENT,), sp_inv, dtype=DT, requires_grad=True),
+            "os3": torch.zeros(LATENT, dtype=DT, requires_grad=True),
+            "os4": torch.zeros(LATENT, dtype=DT, requires_grad=True),
+            "ls4": torch.full((LATENT,), sp_inv, dtype=DT, requires_grad=True),
+        }
+
+    def params(self):
+        return list(self.p.values())
+
+    @staticmethod
+    def _rbf(a, b, ls):
+        d = (a.unsqueeze(-1) - b.unsqueeze(-2)) / ls[:, None, None]
+        return torch.exp(-0.5 * d * d)
+
+    @staticmethod
+    def _cat(a, b):
+        return (a.unsqueeze(-1) == b.unsqueeze(-2)).to(DT)
+
+    def k0(self, x1, x2):
+        p = self.p
+        sp = F.softplus
+        k = sp(p["os0"])[:, None, None] * self._rbf(x1[:, 0], x2[:, 0], sp(p["ls0"]))
+        k = k + sp(p["os1"])[:, None, None] * self._cat(x1[:, 3], x2[:, 3]) \
+            * self._rbf(x1[:, 0], x2[:, 0], sp(p["ls1"]))
+        k = k + sp(p["os2"])[:, None, None] * self._cat(x1[:, 4], x2[:, 4]) \
+            * self._rbf(x1[:, 1], x2[:, 1], sp(p["ls2"]))
+        return k
+
+    def k0_zz(self, z):
+        """z [L, M, Q] per-latent inducing points."""
+        p = self.p
+        sp = F.softplus
+        def rbf(c, ls):
+            d = (z[:, :, c].unsqueeze(-1) - z[:, :, c].unsqueeze(-2)) / ls[:, None, None]
+            return torch.exp(-0.5 * d * d)
+        def cat(c):
+            return (z[:, :, c].unsqueeze(-1) == z[:, :, c].unsqueeze(-2)).to(DT)
+        k = sp(p["os0"])[:, None, None] * rbf(0, sp(p["ls0"]))
+        k = k + sp(p["os1"])[:, None, None] * cat(3) * rbf(0, sp(p["ls1"]))
+        k = k + sp(p["os2"])[:, None, None] * cat(4) * rbf(1, sp(p["ls2"]))
+        return k
+
+    def k0_xz(self, x, z):
+        """x [N, Q] vs z [L, M, Q]."""
+        p = self.p
+        sp = F.softplus
+        def rbf(c, ls):
+            d = (x[None, :, c, None] - z[:, None, :, c]) / ls[:, None, None]
+            return torch.exp(-0.5 * d * d)
+        def cat(c):
+            return (x[None, :, c, None] == z[:, None, :, c]).to(DT)
+        k = sp(p["os0"])[:, None, None] * rbf(0, sp(p["ls0"]))
+        k = k + sp(p["os1"])[:, None, None] * cat(3) * rbf(0, sp(p["ls1"]))
+        k = k + sp(p["os2"])[:, None, None] * cat(4) * rbf(1, sp(p["ls2"]))
+        return k
+
+    def k1(self, x1, x2):
+        p = self.p
+        sp = F.softplus
+        k = sp(p["os3"])[:, None, None] * self._cat(x1[:, 2], x2[:, 2])
+        k = k + sp(p["os4"])[:, None, None] * self._cat(x1[:, 2], x2[:, 2]) \
+            * self._rbf(x1[:, 0], x2[:, 0], sp(p["ls4"]))
+        return k
+
+
+# ---------------------------------------------------------------------------
+# conv HLVAE replica (structure of HLVAE.py, D4 types)
+# ---------------------------------------------------------------------------
+
+class VAE(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.rep_w = torch.nn.Parameter(torch.randn(N_CAT, NCLASS, dtype=DT) * .05)
+        self.rep_b = torch.nn.Parameter(torch.randn(N_CAT, dtype=DT) * .05)
+        self.conv1 = torch.nn.Conv2d(1, 16, 3, padding=1).to(DT)
+        self.conv2 = torch.nn.Conv2d(16, 32, 3, padding=1).to(DT)
+        self.fc = torch.nn.Linear(32 * 9 * 9, HID).to(DT)
+        self.mean = torch.nn.Linear(HID, LATENT).to(DT)
+        self.logv = torch.nn.Linear(HID, LATENT).to(DT)
+        self.dhid = torch.nn.Linear(LATENT, HID).to(DT)
+        self.ylin = torch.nn.Linear(HID, 32 * 9 * 9).to(DT)
+        self.dc1 = torch.nn.ConvTranspose2d(32, 16, 4, 2, 1).to(DT)
+        self.dc2 = torch.nn.ConvTranspose2d(16, Y_DIM, 4, 2, 1).to(DT)
+        self.w_real = torch.nn.Parameter(torch.randn(N_REAL, Y_DIM, 1, dtype=DT) * .05)
+        self.b_real = torch.nn.Parameter(torch.randn(N_REAL, 1, dtype=DT) * .05)
+        self.w_cat = torch.nn.Parameter(
+            torch.randn(N_CAT, Y_DIM, NCLASS - 1, dtype=DT) * .05)
+        self.b_cat = torch.nn.Parameter(torch.randn(N_CAT, NCLASS - 1, dtype=DT) * .05)
+        self.log_vy_real = torch.nn.Parameter(
+            torch.full((N_REAL,), float(np.log(1.0 - np.exp(-8.0))), dtype=DT))
+
+    def forward(self, x_real, x_cat, m_real, m_cat):
+        b = x_real.shape[0]
+        # masked normalization: real conv -> /255; cat passthrough
+        xr = x_real * m_real / 255.0
+        xc = x_cat * m_cat.repeat_interleave(NCLASS, 1)
+        rep = torch.einsum("bdc,dc->bd", xc.view(b, N_CAT, NCLASS), self.rep_w) \
+            + self.rep_b
+        one = torch.cat([xr, rep * m_cat], 1).view(b, 1, 36, 36)
+        h = F.max_pool2d(F.relu(self.conv1(one)), 2)
+        h = F.max_pool2d(F.relu(self.conv2(h)), 2)
+        h = F.relu(self.fc(h.reshape(b, -1)))
+        mu, logv = self.mean(h), torch.clamp(self.logv(h), -15, 15)
+        z = mu + torch.randn_like(mu) * torch.exp(0.5 * logv)
+
+        y = self.ylin(F.relu(self.dhid(z))).view(b, 32, 9, 9)
+        y = self.dc2(F.relu(self.dc1(y)))
+        y = y.view(b, Y_DIM, -1).permute(0, 2, 1)   # [b, 1296, Y]
+        y_real, y_cat = y[:, :N_REAL], y[:, N_REAL:]
+
+        def head_real(yy):
+            return torch.sigmoid(
+                torch.einsum("bdy,dya->bda", yy, self.w_real) + self.b_real)[..., 0]
+
+        def head_cat(yy):
+            th = torch.einsum("bdy,dyc->bdc", yy, self.w_cat) + self.b_cat
+            return torch.cat([torch.zeros(b, N_CAT, 1, dtype=DT), th], -1)
+
+        th_r = head_real(y_real * m_real[:, :, None]) * m_real
+        with torch.no_grad():
+            th_r_m = head_real(y_real * (1 - m_real)[:, :, None]) * (1 - m_real)
+        th_r = th_r + th_r_m
+        th_c = head_cat(y_cat * m_cat[:, :, None]) * m_cat[:, :, None]
+        with torch.no_grad():
+            th_c_m = head_cat(y_cat * (1 - m_cat)[:, :, None]) * (1 - m_cat)[:, :, None]
+        th_c = th_c + th_c_m
+
+        # real loglik (shared softplus-floored variance, conv mode)
+        min_log_vy = -8.0
+        est_var = torch.exp(min_log_vy + F.softplus(self.log_vy_real - min_log_vy))
+        lp_r = (-0.5 * (x_real / 255.0 - th_r) ** 2 / est_var
+                - 0.5 * np.log(2 * np.pi) - 0.5 * torch.log(est_var)) * m_real
+        # cat loglik
+        log_pi = F.log_softmax(th_c, -1)
+        lp_c = (xc.view(b, N_CAT, NCLASS) * log_pi).sum(-1) * m_cat
+        nll = -(lp_r.sum() + lp_c.sum())
+        return nll, mu, logv
+
+
+def kld_iter(kern, m, H, x, mu, logv, z, P, P_batch, N, subj_col):
+    """Varying-T KLD upper bound with per-subject loop
+    (elbo_functions.py:196-285)."""
+    Mn = H.shape[-1]
+    eye_m = torch.eye(Mn, dtype=DT)
+    K0xz = kern.k0_xz(x, z)
+    K0zz = kern.k0_zz(z) + EPS * eye_m
+    LK = torch.linalg.cholesky(K0zz)
+    iK = torch.cholesky_solve(eye_m, LK)
+    LH = torch.linalg.cholesky(H)
+    iH = torch.cholesky_solve(eye_m, LH)
+
+    A_part = (torch.matmul(torch.matmul(K0xz, iK), m).squeeze(2) - mu.T).unsqueeze(2)
+    E_part = torch.matmul(torch.matmul(iK, H), iK)
+
+    A = B = C = D = Ee = torch.zeros((), dtype=DT)
+    ng1 = torch.zeros(LATENT, Mn, 1, dtype=DT)
+    ng2 = torch.zeros(LATENT, Mn, Mn, dtype=DT)
+    for s in torch.unique(x[:, subj_col]):
+        idx = x[:, subj_col] == s
+        tx = x[idx]
+        Tn = tx.shape[0]
+        K0_st = _k_batched(kern.k0, tx)
+        B_st = _k_batched(kern.k1, tx) + torch.eye(Tn, dtype=DT)
+        LB = torch.linalg.cholesky(B_st)
+        iB = torch.cholesky_solve(torch.eye(Tn, dtype=DT), LB)
+        K0xz_st = K0xz[:, idx]
+        KziBK = torch.einsum("bik,bij,bjl->bkl", K0xz_st, iB, K0xz_st)
+        A = A + torch.einsum("bji,bjk,bkl->b", A_part[:, idx], iB,
+                             A_part[:, idx]).sum()
+        B = B + torch.sum(torch.diagonal(iB, dim1=-1, dim2=-2).reshape(
+            LATENT, -1) * torch.exp(logv[idx].T))
+        C = C + 2 * torch.sum(torch.log(torch.diagonal(LB, dim1=-2, dim2=-1)))
+        D = D + torch.sum(iB * K0_st) - torch.sum(KziBK * iK)
+        Ee = Ee + torch.sum(E_part * KziBK)
+        mu_p = mu[idx].transpose(-1, -2).unsqueeze(2)
+        ng1 = ng1 + torch.matmul(K0xz_st.transpose(-1, -2), torch.matmul(iB, mu_p))
+        ng2 = ng2 + KziBK
+
+    Ft = torch.sum(logv)
+    tr1 = torch.sum(iK * H.transpose(-1, -2))
+    qf1 = torch.sum(m * torch.matmul(iK, m))
+    logdetK = 2 * torch.sum(torch.log(torch.diagonal(LK, dim1=-1, dim2=-2)))
+    logdetH = 2 * torch.sum(torch.log(torch.diagonal(LH, dim1=-1, dim2=-2)))
+    kqp = 0.5 * (tr1 + qf1 - LATENT * Mn + logdetK - logdetH)
+    kld = P / P_batch * 0.5 * (A + B + C + D + Ee - Ft) + kqp - LATENT * N / 2
+    Bm = torch.matmul(iK, torch.matmul(ng2, iK)) + iK
+    grad_m = -torch.matmul(iK, ng1) + torch.matmul(Bm, m)
+    grad_H = 0.5 * (-iH + Bm)
+    return kld, grad_m.detach(), grad_H.detach()
+
+
+def _k_batched(kfn, tx):
+    """Evaluate a pairwise kernel on one subject's [Tn, Q] rows, batched
+    over latent: feed column views like the main kernels do."""
+    class _X:
+        def __init__(self, t):
+            self.t = t
+        def __getitem__(self, key):
+            _, c = key
+            return self.t[:, c].unsqueeze(0).expand(LATENT, -1)
+    return kfn(_X(tx), _X(tx))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n = S_BATCH * T
+    x_real = torch.tensor(rng.random((n, N_REAL)) * 255, dtype=DT)
+    cat_codes = rng.integers(0, NCLASS, (n, N_CAT))
+    x_cat = torch.tensor(np.eye(NCLASS)[cat_codes].reshape(n, -1), dtype=DT)
+    m_real = torch.tensor((rng.random((n, N_REAL)) > .25).astype(float), dtype=DT)
+    m_cat = torch.tensor((rng.random((n, N_CAT)) > .25).astype(float), dtype=DT)
+    labels = np.zeros((n, 6))
+    labels[:, 0] = np.tile(np.arange(T), S_BATCH)
+    labels[:, 1] = np.repeat(rng.integers(-9, 11, S_BATCH), T)
+    labels[:, 2] = np.repeat(np.arange(S_BATCH), T)
+    labels[:, 3] = np.repeat(rng.integers(0, 2, S_BATCH), T)
+    labels[:, 4] = np.repeat(rng.integers(0, 2, S_BATCH), T)
+    x = torch.tensor(labels, dtype=DT)
+
+    vae = VAE()
+    kern = Kernels()
+    z = torch.tensor(labels[rng.choice(n, M)], dtype=DT).unsqueeze(0) \
+        .repeat(LATENT, 1, 1)
+    z.requires_grad_(True)
+    m_ind = torch.randn(LATENT, M, 1, dtype=DT)
+    Hh = torch.randn(LATENT, M, M, dtype=DT) / 10
+    H = torch.matmul(Hh, Hh.transpose(-1, -2)) + 0.1 * torch.eye(M, dtype=DT)
+
+    opt = torch.optim.Adam(list(vae.parameters()) + kern.params() + [z], lr=1e-3)
+
+    def one_step():
+        nonlocal m_ind, H
+        opt.zero_grad()
+        nll, mu, logv = vae(x_real, x_cat, m_real, m_cat)
+        kld, gm, gH = kld_iter(kern, m_ind, H, x, mu, logv, z,
+                               P_SUBJ, S_BATCH, P_SUBJ * T, 2)
+        loss = nll * P_SUBJ / S_BATCH + kld
+        loss.backward()
+        opt.step()
+        # natural-gradient update (training.py:130-137)
+        with torch.no_grad():
+            LH = torch.linalg.cholesky(H)
+            iH = torch.cholesky_solve(torch.eye(M, dtype=DT), LH)
+            iH_new = iH + 0.01 * (gH + gH.transpose(-1, -2))
+            LiH = torch.linalg.cholesky(iH_new)
+            H = torch.cholesky_solve(torch.eye(M, dtype=DT), LiH)
+            m_ind = torch.matmul(H, torch.matmul(iH, m_ind)
+                                 - 0.01 * (gm - 2 * torch.matmul(gH, m_ind)))
+        return float(loss.detach())
+
+    one_step()   # warmup
+    steps = 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    out = {"steps_per_sec": steps / dt, "seconds_per_step": dt / steps,
+           "device": "cpu", "dtype": "float64", "threads": torch.get_num_threads()}
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baseline_cpu.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
