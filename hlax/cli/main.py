@@ -51,6 +51,23 @@ def run(opt: dict) -> dict:
     os.makedirs(save_path, exist_ok=True)
     os.makedirs(results_path, exist_ok=True)
 
+    # arguments.pkl round-trip for eval-only reruns (HLVAE_main.py:52-76):
+    # epochs in [0,1,2] (or early_stopping) reloads the training-time config
+    # and only overrides the run-control flags.
+    args_pkl = os.path.join(save_path, "arguments.pkl")
+    if opt.get("epochs", 0) not in (0, 1, 2) and not opt.get("early_stopping"):
+        with open(args_pkl, "wb") as f:
+            pickle.dump(opt, f)
+    elif os.path.isfile(args_pkl):
+        with open(args_pkl, "rb") as f:
+            saved = pickle.load(f)
+        for k in ("early_stopping", "epochs", "save_interval", "results_path",
+                  "save_path", "gp_model_folder", "generate_images",
+                  "memory_dbg", "run_tests", "run_validation"):
+            if k in opt:
+                saved[k] = opt[k]
+        opt = saved
+
     for key in sorted(opt):
         print(f"{key}: {opt[key]}")
 

@@ -218,6 +218,45 @@ def deviance_upper_bound(
     return jnp.sum(dubo)
 
 
+def sample_elbo(
+    spec0: KernelSpec, params0, spec1: KernelSpec, params1,
+    noise, z, x_st, valid, y_st, eps: float,
+) -> jnp.ndarray:
+    """Sample-based sparse-GP marginal-likelihood lower bound
+    (elbo_functions.py:9-57), batched over latent dims and padded subjects.
+
+    y_st [S, T, L]: a latent sample (0 on padding).  Returns the bound summed
+    over latent dimensions (the reference's per-dim ``elbo`` summed over the
+    L loop of validation.py:141-147).
+    """
+    blk = subject_blocks(spec0, params0, spec1, params1, noise, z, x_st,
+                         valid, eps)
+    y_m = jnp.transpose(y_st * valid[:, :, None], (2, 0, 1))   # [L, S, T]
+    N_valid = jnp.sum(valid)
+
+    iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
+    KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
+    W = blk.K0zz + KziBK
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+    LW = jnp.linalg.cholesky(W)
+
+    logDet = (-_logdet_from_chol(blk.LK0zz)
+              + jnp.sum(_logdet_from_chol(blk.LB), axis=-1)
+              + _logdet_from_chol(LW))                          # [L]
+
+    iB_y = jnp.einsum("lstu,lsu->lst", blk.iB, y_m)
+    qF1 = jnp.einsum("lst,lst->l", y_m, iB_y)
+    p = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_y)
+    sol = jax.scipy.linalg.solve_triangular(LW, p[:, :, None], lower=True)
+    qF = qF1 - jnp.sum(sol ** 2, axis=(-1, -2))
+
+    tr = (jnp.sum(blk.iB * blk.K0_st, axis=(-1, -2, -3))
+          - jnp.sum(KziBK * blk.iK0zz, axis=(-1, -2)))
+    const = -0.5 * N_valid * jnp.log(2.0 * jnp.pi)
+    el = const - 0.5 * (logDet + qF) - 0.5 * tr
+    return jnp.sum(el)
+
+
 def natural_gradient_update(m, H, grad_m, grad_H, lr: float):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137)."""
     eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype), H.shape)

@@ -276,11 +276,15 @@ class HLVAE(nn.Module):
                 if cfg.conv:
                     d_blk = d_blk / 255.0
                 extra = None if cfg.logvar_network else self.log_vy_real
+                if extra is not None and cfg.vy_fixed:   # HLVAE.py:218-220
+                    extra = jax.lax.stop_gradient(extra)
                 out = lik.loglik_real(d_blk, m_blk, t_blk,
                                       norm_params.real_mean, norm_params.real_var,
                                       extra, cfg.conv)
             elif g.kind == "pos":
                 extra = None if cfg.logvar_network else self.log_vy_pos
+                if extra is not None and cfg.vy_fixed:
+                    extra = jax.lax.stop_gradient(extra)
                 out = lik.loglik_pos(d_blk, m_blk, t_blk,
                                      norm_params.pos_mean_log,
                                      norm_params.pos_var_log, extra)

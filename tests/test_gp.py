@@ -252,3 +252,36 @@ def test_natural_gradient_update_math():
                        - 0.01 * (np.asarray(gm) - 2 * np.asarray(gH) @ np.asarray(m)))
     np.testing.assert_allclose(np.asarray(H2), H_want, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(m2), m_want, rtol=1e-8)
+
+
+def test_sample_elbo_matches_dense_nystrom_oracle():
+    """sample_elbo == log N(y; 0, Q0 + Bfull) - 0.5 tr(iB (K0 - Q0))."""
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v) = \
+        _bound_inputs()
+    y = mu   # any values work as the latent sample
+    got = float(E.sample_elbo(spec0, p0, spec1, p1, jnp.asarray(noise),
+                              jnp.asarray(z), jnp.asarray(x_st),
+                              jnp.asarray(valid), jnp.asarray(y), EPS))
+
+    xf = x_st.reshape(-1, Q)
+    want = 0.0
+    N = S * T
+    for l in range(L):
+        km = lambda sp, pp, a, b: np.asarray(
+            K.kernel_matrix(sp, pp, jnp.array(a), jnp.array(b)))[l]
+        K0xz = km(spec0, p0, xf, z[l])
+        K0zz = km(spec0, p0, z[l], z[l]) + EPS * np.eye(M)
+        Q0 = K0xz @ np.linalg.inv(K0zz) @ K0xz.T
+        K0 = km(spec0, p0, xf, xf)
+        Bfull = km(spec1, p1, xf, xf) + noise[l] * np.eye(N)
+        # zero cross-subject entries of B (block-diagonal structure)
+        subj = xf[:, ID_COV]
+        Bfull = Bfull * (subj[:, None] == subj[None, :])
+        Sig = Q0 + Bfull
+        yl = y.reshape(-1, L)[:, l]
+        loglik = (-0.5 * N * np.log(2 * np.pi)
+                  - 0.5 * np.linalg.slogdet(Sig)[1]
+                  - 0.5 * yl @ np.linalg.solve(Sig, yl))
+        tr = np.sum(np.linalg.inv(Bfull) * (K0 - Q0))
+        want += loglik - 0.5 * tr
+    np.testing.assert_allclose(got, want, rtol=1e-7)

@@ -1,0 +1,81 @@
+"""Mesh sharding: the sharded train step must match the unsharded one.
+
+Runs on the 8 virtual CPU devices from conftest (the fake-backend strategy
+from SURVEY.md §4/§5): a (data x latent) mesh step produces the same loss
+and the same updated state as single-device execution.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hlax.data.reader import encode_raw
+from hlax.data.dataset import LongitudinalDataset, subject_batches
+from hlax.gp.kernels import build_kernel_specs
+from hlax.models import HLVAE, HLVAEConfig
+from hlax.parallel import mesh as pmesh
+from hlax.train import step as tstep
+
+
+def _setup():
+    S, T, L, M = 8, 4, 4, 6
+    rng = np.random.default_rng(2)
+    types = [{"type": "real", "dim": 1, "nclass": 1},
+             {"type": "cat", "dim": 1, "nclass": 3}]
+    n = S * T
+    raw = np.column_stack([rng.normal(0, 1, n),
+                           rng.integers(0, 3, n).astype(float)])
+    het = encode_raw(raw, types,
+                     miss_mask=(rng.random((n, 2)) > 0.2).astype(float))
+    labels = np.zeros((n, 3))
+    labels[:, 0] = np.tile(np.arange(T), S)
+    labels[:, 2] = np.repeat(np.arange(S), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=False)
+    spec0, spec1 = build_kernel_specs(
+        [2], [], [0], [{"cont_covariate": 0, "cat_covariate": 2}], [], [], 2)
+    cfg = tstep.TrainConfig(latent_dim=L, M=M, P_tot=float(S), N_tot=float(n),
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float64)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=L, h_dims=(8,), y_dim=2,
+                       conv=False, dtype=jnp.float64)
+    model = HLVAE(mcfg)
+    batch = next(subject_batches(ds, S))
+    state = tstep.init_train_state(model, spec0, spec1, batch, cfg, seed=0)
+    step = tstep.make_train_step(model, spec0, spec1, cfg)
+    return step, state, batch
+
+
+def test_sharded_step_matches_unsharded():
+    assert len(jax.devices()) >= 8
+    step, state, batch = _setup()
+
+    db = tstep.device_batch(batch, jnp.float64)
+    s1, m1 = jax.jit(step)(state, db)
+    loss1 = float(m1["loss"])
+
+    mesh = pmesh.make_mesh(n_data=4, n_latent=2)
+    with mesh:
+        state_sh = pmesh.shard_state(state, mesh)
+        db_sh = pmesh.shard_batch(db, mesh)
+        s2, m2 = jax.jit(step)(state_sh, db_sh)
+        loss2 = float(m2["loss"])
+
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-9)
+    # updated states identical (up to float ordering)
+    for a, b in zip(jax.tree_util.tree_leaves(s1._replace(opt_state=None,
+                                                          rng=None)),
+                    jax.tree_util.tree_leaves(s2._replace(opt_state=None,
+                                                          rng=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_data_parallel_only_mesh():
+    assert len(jax.devices()) >= 8
+    step, state, batch = _setup()
+    db = tstep.device_batch(batch, jnp.float64)
+    s1, m1 = jax.jit(step)(state, db)
+    mesh = pmesh.make_mesh(n_data=8, n_latent=1)
+    with mesh:
+        s2, m2 = jax.jit(step)(pmesh.shard_state(state, mesh),
+                               pmesh.shard_batch(db, mesh))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-9)
