@@ -156,7 +156,7 @@ def kld_upper_bound(
     kld_total = (P_tot / P_batch * 0.5 * (A + Bt + C + D + E - F)
                  + kld_qu_pu - Ldim * N_tot / 2.0)
 
-    grad_m = grad_H = None
+    grad_m = grad_H = iH_out = None
     if natural_gradient:
         iB_mu = jnp.einsum("lstu,sul->lst", blk.iB, mu_m)
         ng_P1 = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_mu)[:, :, None]
@@ -165,8 +165,9 @@ def kld_upper_bound(
         grad_m = -jnp.einsum("lmn,lno->lmo", blk.iK0zz, ng_P1) \
             + jnp.einsum("lmn,lno->lmo", B_mat, m)
         grad_H = 0.5 * (-iH + B_mat)
+        iH_out = iH   # reusable by natural_gradient_update (saves a Cholesky)
 
-    return kld_total, grad_m, grad_H
+    return kld_total, grad_m, grad_H, iH_out
 
 
 def deviance_upper_bound(
@@ -257,11 +258,15 @@ def sample_elbo(
     return jnp.sum(el)
 
 
-def natural_gradient_update(m, H, grad_m, grad_H, lr: float):
-    """Closed-form natural-gradient step on (m, H) (training.py:130-137)."""
+def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
+    """Closed-form natural-gradient step on (m, H) (training.py:130-137).
+
+    Pass the ``iH`` returned by kld_upper_bound to skip recomputing the
+    Cholesky inverse of H."""
     eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype), H.shape)
-    LH = jnp.linalg.cholesky(H)
-    iH = jax.scipy.linalg.cho_solve((LH, True), eye)
+    if iH is None:
+        LH = jnp.linalg.cholesky(H)
+        iH = jax.scipy.linalg.cho_solve((LH, True), eye)
     iH_new = iH + lr * (grad_H + jnp.swapaxes(grad_H, -1, -2))
     LiH = jnp.linalg.cholesky(iH_new)
     H_new = jax.scipy.linalg.cho_solve((LiH, True), eye)

@@ -249,17 +249,26 @@ class HLVAE(nn.Module):
         return mean
 
     def theta_estimation(self, y, mask, theta_mask):
-        """Route observed/missing features through heads (HLVAE.py:416-453)."""
+        """Route observed/missing features through heads (HLVAE.py:416-453).
+
+        The reference evaluates each head twice — on y*mask (with gradients)
+        and on y*(1-mask) under no_grad — and merges by param_mask.  Because
+        every head is per-variable affine and theta_mask is the per-variable
+        mask broadcast to theta columns, the merged result equals a SINGLE
+        head evaluation h = head(y) with the gradient gated by the mask:
+
+            theta = stop_gradient(h) + theta_mask * (h - stop_gradient(h))
+
+        (identical values and identical parameter gradients; halves the
+        decoder-head FLOPs — verified in tests/test_model.py)."""
         lay = self.cfg.layout
-        obs_y = y * mask[:, :, None]
-        mis_y = y * (1.0 - mask)[:, :, None]
         blocks = []
         for gi, g in enumerate(lay.groups):
             sl = slice(g.raw_slice[0], g.raw_slice[1])
-            t_obs = self._head(gi, g, obs_y[:, sl, :])
-            t_mis = jax.lax.stop_gradient(self._head(gi, g, mis_y[:, sl, :]))
+            h = self._head(gi, g, y[:, sl, :])
+            hs = jax.lax.stop_gradient(h)
             pm = theta_mask[:, g.theta_slice[0]:g.theta_slice[1]]
-            blocks.append(t_obs * pm + t_mis * (1.0 - pm))
+            blocks.append(hs + pm * (h - hs))
         return jnp.concatenate(blocks, axis=1)   # [B, n_theta] grouped
 
     def loglik(self, theta, data, mask, norm_params: NormParams):

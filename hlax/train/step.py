@@ -140,7 +140,7 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
         H = p["H"]
         PSD_H = H if cfg.natural_gradient else jnp.einsum("lmn,lon->lmo", H, H)
         noise = gp_kernels.noise_value(p["raw_noise"], cfg.constrain_scales)
-        kld, gm, gH = gp_elbo.kld_upper_bound(
+        kld, gm, gH, iH = gp_elbo.kld_upper_bound(
             spec0, p["k0"], spec1, p["k1"], noise, p["m"], PSD_H, p["zt"],
             x_st, valid.astype(gdt), mu_st, log_v_st,
             cfg.P_tot, cfg.N_tot, cfg.eps,
@@ -150,6 +150,7 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
         nll_scaled = nll * cfg.P_tot / P_batch
         loss = nll_scaled + kld.astype(nll.dtype)
         aux = {"nll": nll_scaled, "kld": kld, "grad_m": gm, "grad_H": gH,
+               "iH": iH,
                "mu": out["mu"], "log_var": out["log_var"],
                "log_p_x": out["log_p_x"]}
         return loss, aux
@@ -172,7 +173,8 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
                 state.m, state.H,
                 jax.lax.stop_gradient(aux["grad_m"]),
                 jax.lax.stop_gradient(aux["grad_H"]),
-                cfg.natural_gradient_lr)
+                cfg.natural_gradient_lr,
+                iH=jax.lax.stop_gradient(aux["iH"]))
             new = new._replace(m=m_new, H=H_new)
         metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"]}
         return new, metrics

@@ -135,7 +135,7 @@ def _np_kld_oracle(spec0, p0, spec1, p1, noise, m, H, z, x_st, valid,
 
 def test_kld_matches_numpy_oracle():
     inp = _bound_inputs()
-    got, _, _ = E.kld_upper_bound(
+    got, _, _, _ = E.kld_upper_bound(
         *[jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp],
         P_tot=10.0, N_tot=30.0, eps=EPS)
     want = _np_kld_oracle(*inp, P_tot=10.0, N_tot=30.0)
@@ -146,7 +146,7 @@ def test_kld_padding_invariance():
     # varying-T: subject 0 has 3 rows, subject 1 has 1, subject 2 has 2
     valid = np.array([[1, 1, 1], [1, 0, 0], [1, 1, 0], [1, 1, 1]], dtype=float)
     inp = _bound_inputs(valid=valid)
-    got, gm, gH = E.kld_upper_bound(
+    got, gm, gH, _ = E.kld_upper_bound(
         *[jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp],
         P_tot=8.0, N_tot=20.0, eps=EPS, natural_gradient=True)
     want = _np_kld_oracle(*inp, P_tot=8.0, N_tot=20.0)
@@ -158,7 +158,7 @@ def test_kld_padding_invariance():
     pad = lambda a: np.concatenate(
         [a, np.zeros(a.shape[:1] + (T2 - T,) + a.shape[2:])], axis=1)
     (spec0, p0, spec1, p1, noise, m, H, z, x_st, _, mu, log_v) = inp
-    got2, _, _ = E.kld_upper_bound(
+    got2, _, _, _ = E.kld_upper_bound(
         spec0, p0, spec1, p1, jnp.asarray(noise), jnp.asarray(m),
         jnp.asarray(H), jnp.asarray(z), jnp.asarray(pad(x_st)),
         jnp.asarray(pad(valid)), jnp.asarray(pad(mu)), jnp.asarray(pad(log_v)),
@@ -174,12 +174,12 @@ def test_natural_gradients_match_autodiff():
         jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp]
 
     def bound(m_, H_):
-        out, _, _ = E.kld_upper_bound(
+        out, _, _, _ = E.kld_upper_bound(
             spec0, p0, spec1, p1, noise, m_, H_, z, x_st, valid, mu, log_v,
             P_tot=float(S), N_tot=float(S * T), eps=EPS)
         return out
 
-    _, gm, gH = E.kld_upper_bound(
+    _, gm, gH, _ = E.kld_upper_bound(
         spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v,
         P_tot=float(S), N_tot=float(S * T), eps=EPS, natural_gradient=True)
     am, aH = jax.grad(bound, argnums=(0, 1))(m, H)

@@ -120,3 +120,47 @@ def test_conv_forward_healthmnist_shape():
     out = model.apply(params, data, mask, tmask, key)
     assert out["log_p_x"].shape == (n, 1296)
     assert np.isfinite(np.asarray(out["log_p_x"])).all()
+
+
+def test_single_head_theta_matches_two_pass_reference_routing():
+    """The fused theta_estimation (one head eval, mask-gated gradient) must
+    equal the reference's two-pass routing (HLVAE.py:416-453) in both values
+    and parameter gradients."""
+    ds = _dataset(10)
+    cfg = HLVAEConfig(layout=ds.layout, z_dim=3, h_dims=(8,), y_dim=4,
+                      conv=False, dtype=jnp.float64)
+    model = HLVAE(cfg)
+    key = jax.random.PRNGKey(3)
+    data, mask = jnp.array(ds.data), jnp.array(ds.mask)
+    tmask = jnp.array(ds.theta_mask)
+    params = model.init(key, data, mask, tmask, key)
+    y = jax.random.normal(key, (10, ds.layout.n_raw, 4), jnp.float64)
+
+    def fused(p):
+        th = model.apply(p, y, mask, tmask,
+                         method=lambda m, *a: m.theta_estimation(*a))
+        return th
+
+    def two_pass(p):
+        def run(mdl, y, mask, tmask):
+            lay = mdl.cfg.layout
+            obs_y = y * mask[:, :, None]
+            mis_y = y * (1.0 - mask)[:, :, None]
+            blocks = []
+            for gi, g in enumerate(lay.groups):
+                sl = slice(g.raw_slice[0], g.raw_slice[1])
+                t_obs = mdl._head(gi, g, obs_y[:, sl, :])
+                t_mis = jax.lax.stop_gradient(mdl._head(gi, g, mis_y[:, sl, :]))
+                pm = tmask[:, g.theta_slice[0]:g.theta_slice[1]]
+                blocks.append(t_obs * pm + t_mis * (1.0 - pm))
+            return jnp.concatenate(blocks, axis=1)
+        return model.apply(p, y, mask, tmask, method=run)
+
+    v1, v2 = fused(params), two_pass(params)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-12, atol=1e-12)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(fused(p))))(params)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(two_pass(p))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
