@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from hlax.gp.kernels import KernelSpec, kernel_matrix
+from hlax.ops.linalg_small import chol_inv_small
 
 
 def _chol_inverse(L):
@@ -56,6 +57,7 @@ def subject_blocks(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise, z, x_st, valid, eps,
     with_K0st: bool = True,
+    use_pallas_chol: bool = False,
 ) -> SubjectBlocks:
     """Build the kernel blocks shared by the bounds and the predictor.
 
@@ -81,8 +83,15 @@ def subject_blocks(
     diag_fill = (noise[:, None, None, None] * valid[None, :, :, None]
                  + (1.0 - valid)[None, :, :, None])
     B_st = K1_st * vo[None] + eyeT * diag_fill
-    LB = jnp.linalg.cholesky(B_st)
-    iB = _chol_inverse(LB)
+    if use_pallas_chol:
+        # Pallas batch-on-lanes Cholesky (hlax/ops/linalg_small.py) — wins on
+        # gradient-free paths (prediction / DUBO / eval); on the training
+        # path XLA's native Cholesky + its VJP is faster end-to-end.
+        LB, iLB = chol_inv_small(B_st)
+        iB = jnp.einsum("lskt,lsku->lstu", iLB, iLB)
+    else:
+        LB = jnp.linalg.cholesky(B_st)
+        iB = _chol_inverse(LB)
 
     if with_K0st:
         K0_st = kernel_matrix(spec0, params0, x_st, x_st) * vo[None]
@@ -177,7 +186,7 @@ def deviance_upper_bound(
     """Closed-form DUBO over a full set (validation.py:16-76), padded-batched
     and summed over latent dimensions."""
     blk = subject_blocks(spec0, params0, spec1, params1, noise, z, x_st,
-                         valid, eps)
+                         valid, eps, use_pallas_chol=True)
     v_mask = valid[:, :, None]
     mu_m = jnp.transpose(mu_st * v_mask, (2, 0, 1))      # [L, S, T]
     v_m = jnp.transpose(jnp.exp(log_v_st) * v_mask, (2, 0, 1))
@@ -231,7 +240,7 @@ def sample_elbo(
     L loop of validation.py:141-147).
     """
     blk = subject_blocks(spec0, params0, spec1, params1, noise, z, x_st,
-                         valid, eps)
+                         valid, eps, use_pallas_chol=True)
     y_m = jnp.transpose(y_st * valid[:, :, None], (2, 0, 1))   # [L, S, T]
     N_valid = jnp.sum(valid)
 

@@ -60,7 +60,8 @@ def batch_predict(
     Np = Sp * Tp
 
     blk = subject_blocks(spec0, params0, spec1, params1, noise, z,
-                         pred_x_st, pred_valid, eps, with_K0st=False)
+                         pred_x_st, pred_valid, eps, with_K0st=False,
+                         use_pallas_chol=True)
 
     mu_m = jnp.transpose(mu_st * pred_valid[:, :, None], (2, 0, 1))   # [L,Sp,Tp]
 

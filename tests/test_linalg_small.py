@@ -1,0 +1,98 @@
+"""Pallas batched small Cholesky+inverse vs jnp.linalg (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hlax.ops import linalg_small as ls
+
+ls.FORCE_PALLAS = True   # exercise the Pallas kernel in interpret mode
+
+RNG = np.random.default_rng(11)
+
+
+def _spd(shape, t):
+    a = RNG.normal(size=shape + (t, t))
+    return a @ np.swapaxes(a, -1, -2) + 3 * np.eye(t)
+
+
+def test_forward_matches_linalg():
+    for shape, t in [((6,), 4), ((3, 5), 12), ((2,), 20)]:
+        a = jnp.asarray(_spd(shape, t))
+        l, il = ls.chol_inv_small(a)
+        l2 = jnp.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(l2),
+                                   rtol=1e-9, atol=1e-10)
+        ia = np.swapaxes(np.asarray(il), -1, -2) @ np.asarray(il)
+        np.testing.assert_allclose(ia, np.linalg.inv(np.asarray(a)),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_gradient_matches_linalg_after_symmetrization():
+    t = 8
+    a = jnp.asarray(_spd((4,), t))
+
+    def f_ours(a):
+        l, il = ls.chol_inv_small(a)
+        ia = jnp.matmul(jnp.swapaxes(il, -1, -2), il)
+        return (jnp.sum(jnp.sin(l)) + jnp.sum(ia ** 2)
+                + jnp.sum(ls.logdet_from_chol(l)))
+
+    def f_ref(a):
+        l = jnp.linalg.cholesky(a)
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        ia = jnp.matmul(jnp.swapaxes(il, -1, -2), il)
+        return (jnp.sum(jnp.sin(l)) + jnp.sum(ia ** 2)
+                + 2 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1))))
+
+    g1 = np.asarray(jax.grad(f_ours)(a))
+    g2 = np.asarray(jax.grad(f_ref)(a))
+    sym = lambda x: 0.5 * (x + np.swapaxes(x, -1, -2))
+    np.testing.assert_allclose(sym(g1), sym(g2), rtol=1e-6, atol=1e-8)
+
+
+def test_gradient_through_symmetric_construction_is_exact():
+    """When A is built symmetrically from an underlying parameter (like our
+    kernel matrices), gradients through chol_inv_small match jnp exactly."""
+    t = 6
+    x = jnp.asarray(RNG.normal(size=(5, t, 3)))
+
+    def build(x):
+        # rbf-like symmetric PSD matrix from data x
+        d = x[:, :, None, :] - x[:, None, :, :]
+        return jnp.exp(-0.5 * jnp.sum(d * d, -1)) + 0.5 * jnp.eye(t)
+
+    def f_ours(x):
+        l, il = ls.chol_inv_small(build(x))
+        return jnp.sum(ls.logdet_from_chol(l)) + jnp.sum(il ** 2)
+
+    def f_ref(x):
+        a = build(x)
+        l = jnp.linalg.cholesky(a)
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return (2 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)))
+                + jnp.sum(il ** 2))
+
+    g1 = np.asarray(jax.grad(f_ours)(x))
+    g2 = np.asarray(jax.grad(f_ref)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-8)
+
+
+def test_chol_solve_small():
+    t = 10
+    a = jnp.asarray(_spd((3,), t))
+    b = jnp.asarray(RNG.normal(size=(3, t, 2)))
+    l, il = ls.chol_inv_small(a)
+    x = ls.chol_solve_small(l, il, b)
+    np.testing.assert_allclose(np.asarray(jnp.matmul(a, x)), np.asarray(b),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fallback_large_t():
+    t = ls.MAX_UNROLLED_T + 16
+    a = jnp.asarray(_spd((2,), t))
+    l, il = ls.chol_inv_small(a)
+    np.testing.assert_allclose(np.asarray(l),
+                               np.asarray(jnp.linalg.cholesky(a)),
+                               rtol=1e-9, atol=1e-10)
