@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from hlax.data.dataset import LongitudinalDataset
 from hlax.data.generate import region_indices
 from hlax.eval import metrics as mx
+from hlax.eval.jits import decode_fn
 from hlax.eval.validate import gp_predict_dataset
 from hlax.ops.normalization import batch_normalization
 
@@ -75,9 +76,8 @@ def recon_complete_gen(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     mask = jnp.asarray(het.mask[:n_rows], dt)
     tmask = jnp.asarray(het.theta_mask[:n_rows], dt)
     _, norm_params = batch_normalization(data, mask, lay, gen_ds.conv)
-    _, _, params, _ = model.apply(
-        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params,
-        method=lambda mdl, z, d, m, tm, npm: mdl.decode(z, d, m, tm, npm))
+    _, _, params, _ = decode_fn(model)(
+        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params)
     _, mode_rec = mx.statistics(params, lay, gen_ds.conv)
 
     # back to original pixel order

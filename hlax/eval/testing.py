@@ -18,6 +18,7 @@ import pandas as pd
 
 from hlax.data.dataset import LongitudinalDataset
 from hlax.eval import metrics as mx
+from hlax.eval.jits import decode_fn, forward_fn
 from hlax.eval.validate import gp_predict_dataset
 from hlax.models.hlvae import nll_from_log_p
 from hlax.ops.normalization import batch_normalization
@@ -75,8 +76,8 @@ def hlvae_test(model, vae_params, ds: LongitudinalDataset,
     data = jnp.asarray(het.data, dt)
     mask = jnp.asarray(het.mask, dt)
     tmask = jnp.asarray(het.theta_mask, dt)
-    out = model.apply(vae_params, data, mask, tmask,
-                      jax.random.PRNGKey(0), sample=False)
+    out = forward_fn(model)(vae_params, data, mask, tmask,
+                            jax.random.PRNGKey(0), False)
     rows = _unseen_frame_rows(ds, 5) if test else np.arange(len(ds))
     res = _metric_battery(model, ds, data, mask, out["log_p_x"],
                           out["log_p_x_missing"], out["params"], rows)
@@ -117,9 +118,8 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     tmask = jnp.asarray(het.theta_mask, dt)
     norm_data, norm_params = batch_normalization(
         data, mask, test_ds.layout, test_ds.conv)
-    log_p_x, log_p_x_missing, params, _ = model.apply(
-        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params,
-        method=lambda mdl, z, d, m, tm, npm: mdl.decode(z, d, m, tm, npm))
+    log_p_x, log_p_x_missing, params, _ = decode_fn(model)(
+        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params)
 
     rows = _unseen_frame_rows(test_ds, 5)
     res = _metric_battery(model, test_ds, data, mask, log_p_x,

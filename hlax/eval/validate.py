@@ -26,7 +26,8 @@ from hlax.data.dataset import LongitudinalDataset, full_padded
 from hlax.eval import metrics as mx
 from hlax.gp import elbo as gp_elbo
 from hlax.gp import kernels as gp_kernels
-from hlax.gp.predict import batch_predict, build_test_pred_map
+from hlax.gp.predict import batch_predict_jit, build_test_pred_map
+from hlax.eval.jits import decode_fn, encode_fn, forward_fn
 from hlax.models.hlvae import nll_from_log_p
 from hlax.ops.normalization import batch_normalization
 
@@ -41,11 +42,7 @@ def encode_dataset(model, vae_params, ds: LongitudinalDataset,
     n = len(ds)
     mus, lvs = [], []
     pad_to = chunk
-
-    @jax.jit
-    def enc(data, mask):
-        return model.apply(vae_params, data, mask, None, None,
-                           method=lambda mdl, d, m, *_: mdl.encode(d, m))
+    enc = encode_fn(model)
 
     for i in range(0, n, chunk):
         data = het.data[i:i + chunk]
@@ -54,7 +51,7 @@ def encode_dataset(model, vae_params, ds: LongitudinalDataset,
         if r < pad_to:   # pad for a single compiled shape
             data = np.concatenate([data, np.zeros((pad_to - r,) + data.shape[1:])])
             mask = np.concatenate([mask, np.zeros((pad_to - r,) + mask.shape[1:])])
-        mu, lv = enc(jnp.asarray(data, dt), jnp.asarray(mask, dt))
+        mu, lv = enc(vae_params, jnp.asarray(data, dt), jnp.asarray(mask, dt))
         mus.append(np.asarray(mu)[:r])
         lvs.append(np.asarray(lv)[:r])
     return np.concatenate(mus), np.concatenate(lvs)
@@ -68,8 +65,8 @@ def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
     data = jnp.asarray(het.data, dt)
     mask = jnp.asarray(het.mask, dt)
     tmask = jnp.asarray(het.theta_mask, dt)
-    out = model.apply(vae_params, data, mask, tmask,
-                      jax.random.PRNGKey(rng_seed))
+    out = forward_fn(model)(vae_params, data, mask, tmask,
+                            jax.random.PRNGKey(rng_seed), True)
     nll = float(jnp.sum(nll_from_log_p(out["log_p_x"])))
     mean_rec, _ = mx.statistics(out["params"], ds.layout, ds.conv)
     truth = mx.discrete_transform(data, ds.layout)
@@ -100,7 +97,7 @@ def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
         for i, s in enumerate(sel):
             a, b = ds.subject_start[s], ds.subject_end[s]
             x_st[i], mu_st[i], lv_st[i] = ds.labels[a:b], mu[a:b], log_var[a:b]
-        val = gp_elbo.deviance_upper_bound(
+        val = gp_elbo.deviance_upper_bound_jit(
             spec0, k0, spec1, k1, noise, zt,
             jnp.asarray(x_st, gdt), jnp.ones((S, T), gdt),
             jnp.asarray(mu_st, gdt), jnp.asarray(lv_st, gdt), eps)
@@ -148,7 +145,7 @@ def gp_predict_dataset(spec0, k0, spec1, k1, noise, zt,
     sub_index = {s: i for i, s in enumerate(test_subjects)}
     test_subj_of_row = np.asarray([sub_index[s] for s in test_subject_col])
 
-    z = batch_predict(
+    z = batch_predict_jit(
         spec0, k0, spec1, k1, noise, zt,
         jnp.asarray(x_st, gdt), jnp.asarray(valid, gdt), jnp.asarray(mu_st, gdt),
         jnp.asarray(test_x, gdt), idx, val, test_subj_of_row, eps)
@@ -190,9 +187,8 @@ def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     tmask = jnp.asarray(het.theta_mask, dt)
     norm_data, norm_params = batch_normalization(data, mask, val_ds.layout,
                                                  val_ds.conv)
-    log_p_x, _, params, _ = model.apply(
-        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params,
-        method=lambda mdl, z, d, m, tm, npm: mdl.decode(z, d, m, tm, npm))
+    log_p_x, _, params, _ = decode_fn(model)(
+        vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params)
     mean_rec, _ = mx.statistics(params, val_ds.layout, val_ds.conv)
     truth = mx.discrete_transform(data, val_ds.layout)
     gp_obs, gp_mis, _ = mx.error_computation(

@@ -267,6 +267,12 @@ def sample_elbo(
     return jnp.sum(el)
 
 
+# jitted entry points for eval paths (specs are hashable static args)
+deviance_upper_bound_jit = jax.jit(deviance_upper_bound,
+                                   static_argnums=(0, 2))
+sample_elbo_jit = jax.jit(sample_elbo, static_argnums=(0, 2))
+
+
 def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137).
 

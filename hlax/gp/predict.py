@@ -95,3 +95,7 @@ def batch_predict(
     term1 = jnp.einsum("lnt,lnt->ln", K1, mt_rows)
 
     return (term0 + term1).T                                          # [Nt, L]
+
+
+# jitted entry point (kernel specs are hashable static args)
+batch_predict_jit = jax.jit(batch_predict, static_argnums=(0, 2))

@@ -89,3 +89,60 @@ def test_smoke_train(varying, natural, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # missing checkpoint -> None
     assert ckpt.restore(str(tmp_path / "nope"), state) is None
+
+
+def test_smoke_train_all_types_with_beta_and_logvar(tmp_path):
+    """Full type coverage: real+pos+count+cat+ordinal+beta heads with
+    logvar_network (per-element variances) train end-to-end."""
+    types = [
+        {"type": "real", "dim": 1, "nclass": 1},
+        {"type": "pos", "dim": 1, "nclass": 1},
+        {"type": "count", "dim": 1, "nclass": 1},
+        {"type": "cat", "dim": 1, "nclass": 3},
+        {"type": "ordinal", "dim": 1, "nclass": 4},
+        {"type": "beta", "dim": 1, "nclass": 1},
+    ]
+    rng = np.random.default_rng(9)
+    n = P * T
+    raw = np.column_stack([
+        rng.normal(0, 1, n), rng.random(n) * 4,
+        rng.poisson(3, n).astype(float), rng.integers(0, 3, n).astype(float),
+        rng.integers(0, 4, n).astype(float), rng.random(n) * 8 + 1,
+    ])
+    miss = (rng.random(raw.shape) > 0.2).astype(float)
+    het = encode_raw(raw, types, miss_mask=miss, beta_ranges=[(1.0, 9.001)],
+                     logvar_network=True)
+    labels = np.zeros((n, 3))
+    labels[:, 0] = np.tile(np.arange(T), P)
+    labels[:, 2] = np.repeat(np.arange(P), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=ID_COV,
+                             conv=False, use_ranges=True)
+    spec0, spec1 = build_kernel_specs([ID_COV], [], [0], [], [], [], ID_COV)
+    cfg = tstep.TrainConfig(latent_dim=L, M=M, P_tot=float(ds.P),
+                            N_tot=float(len(ds)), id_covariate=ID_COV,
+                            natural_gradient=True, constrain_scales=True,
+                            gp_dtype=jnp.float64)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=L, h_dims=(16,), y_dim=3,
+                       conv=False, logvar_network=True, dtype=jnp.float64)
+    model = HLVAE(mcfg)
+    batches = list(subject_batches(ds, 3))
+    state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg)
+    step = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
+    losses = []
+    for _ in range(6):
+        tot = 0.0
+        for b in subject_batches(ds, 3, np.random.default_rng(0)):
+            state, metrics = step(state, tstep.device_batch(b, jnp.float64))
+            tot += float(metrics["loss"])
+        losses.append(tot)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # eval battery over all types
+    from hlax.eval.testing import hlvae_test
+    res = hlvae_test(model, state.vae, ds, test=False, id_covariate=ID_COV,
+                     prnt=False)
+    for kind in ("real", "pos", "count", "cat", "ordinal", "beta"):
+        assert kind in res["partial_LL"]
+        assert np.isfinite(np.asarray(
+            res["partial_error_mean"][kind]["error_observed"])).all()
