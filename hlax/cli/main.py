@@ -37,7 +37,9 @@ def run(opt: dict) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from hlax.data.dataset import load_dataset, subject_batches, n_batches
+    from hlax.data.dataset import (load_dataset, subject_batches, n_batches,
+                                   stage_dataset, gather_batch,
+                                   epoch_subject_batches)
     from hlax.eval import images as im
     from hlax.eval import testing as tst
     from hlax.eval import validate as val
@@ -136,7 +138,7 @@ def run(opt: dict) -> dict:
         natural_gradient=opt.get("natural_gradient", True),
         natural_gradient_lr=opt.get("natural_gradient_lr", 0.01),
         constrain_scales=opt.get("constrain_scales", False),
-        gp_dtype=gp_dtype)
+        eps=opt.get("eps"), gp_dtype=gp_dtype)
 
     subjects_per_batch = opt.get("subjects_per_batch", 20)
     batches = list(subject_batches(dataset, subjects_per_batch))
@@ -157,6 +159,8 @@ def run(opt: dict) -> dict:
         print("Did not load pre-trained values.")
 
     step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
+    gather_fn = jax.jit(gather_batch)
+    staged = stage_dataset(dataset, model_dtype)
     nb = n_batches(dataset, subjects_per_batch)
     epochs = opt.get("epochs", 0)
     validation_interval = 5
@@ -181,8 +185,11 @@ def run(opt: dict) -> dict:
         sums = {"net": 0.0, "nll": 0.0, "kld": 0.0}
         if profile_dir and epoch == 2:
             jax.profiler.start_trace(profile_dir)
-        for b in subject_batches(dataset, subjects_per_batch, rng):
-            state, metrics = step_fn(state, tstep.device_batch(b, model_dtype))
+        ep_metrics = []
+        for idx in epoch_subject_batches(dataset.P, subjects_per_batch, rng):
+            state, metrics = step_fn(state, gather_fn(staged, idx))
+            ep_metrics.append(metrics)
+        for metrics in ep_metrics:   # one device sync per epoch, not per step
             sums["net"] += float(metrics["loss"]) / nb
             sums["nll"] += float(metrics["nll"]) / nb
             sums["kld"] += float(metrics["kld"]) / nb

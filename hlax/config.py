@@ -123,6 +123,8 @@ class ModelArgs:
         add("--profile_dir", type=str, default="",
             help="write jax profiler traces here (tracing subsystem)")
         add("--seed", type=int, default=0)
+        add("--eps", type=float, default=None,
+            help="GP jitter (default: 1e-6 for float64, 1e-4 for float32)")
 
     def parse_options(self, argv=None):
         return vars(self.parser.parse_args(argv))

@@ -156,3 +156,59 @@ def full_padded(ds: LongitudinalDataset, t_max: Optional[int] = None
 
 def n_batches(ds: LongitudinalDataset, subjects_per_batch: int) -> int:
     return (ds.P + subjects_per_batch - 1) // subjects_per_batch
+
+
+# ---------------------------------------------------------------------------
+# device-resident staging: upload the padded dataset ONCE, gather batches
+# on-device from a tiny per-step subject-index array.  Replaces per-step
+# host->device transfer (the reference re-ships every batch through its
+# DataLoader; over a remote-device link that dominates step time).
+# ---------------------------------------------------------------------------
+
+def stage_dataset(ds: LongitudinalDataset, dtype):
+    """Upload the whole dataset as padded [P, T_max, ...] device arrays."""
+    import jax.numpy as jnp
+
+    full = _pad_rows(ds, np.arange(ds.P), ds.T_max)
+    P, T = ds.P, ds.T_max
+    def shape3(a):
+        return a.reshape(P, T, -1)
+    return {
+        "data": jnp.asarray(shape3(full["data"]), dtype),
+        "mask": jnp.asarray(shape3(full["mask"]), dtype),
+        "theta_mask": jnp.asarray(shape3(full["theta_mask"]), dtype),
+        "labels": jnp.asarray(shape3(full["labels"]), dtype),
+        "valid": jnp.asarray(full["valid"], dtype),
+    }
+
+
+def gather_batch(staged, subj_idx):
+    """On-device batch gather: subj_idx [S] (−1 = padding subject) ->
+    flat-row batch dict matching ``subject_batches`` output."""
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(subj_idx)
+    safe = jnp.maximum(idx, 0)
+    alive = (idx >= 0).astype(staged["valid"].dtype)[:, None]
+    S = idx.shape[0]
+    T = staged["valid"].shape[1]
+    out = {}
+    for k in ("data", "mask", "theta_mask", "labels"):
+        v = staged[k][safe] * alive[:, :, None]
+        out[k] = v.reshape(S * T, -1)
+    out["valid"] = staged["valid"][safe] * alive
+    return out
+
+
+def epoch_subject_batches(P: int, subjects_per_batch: int,
+                          rng: Optional[np.random.Generator] = None):
+    """Subject-index batches for one epoch (host side, tiny arrays)."""
+    order = np.arange(P)
+    if rng is not None:
+        rng.shuffle(order)
+    for i in range(0, P, subjects_per_batch):
+        chunk = order[i:i + subjects_per_batch]
+        if len(chunk) < subjects_per_batch:
+            chunk = np.concatenate(
+                [chunk, -np.ones(subjects_per_batch - len(chunk), np.int64)])
+        yield chunk

@@ -29,6 +29,21 @@ import jax.numpy as jnp
 from hlax.gp.kernels import KernelSpec, kernel_matrix
 from hlax.ops.linalg_small import chol_inv_small
 
+# TPU matmuls default to bfloat16 passes; the GP quadratic forms (entries up
+# to ~1/eps after inverting near-singular grams) lose enough mantissa to make
+# the natural-gradient Cholesky chain diverge.  All GP einsums/matmuls run at
+# full float32 precision.
+import functools as _functools
+
+
+def _highest_precision(fn):
+    @_functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 
 def _chol_inverse(L):
     """Inverse from a (batched) Cholesky factor."""
@@ -53,6 +68,7 @@ class SubjectBlocks(NamedTuple):
     iB: jnp.ndarray          # [L, S, T, T]
 
 
+@_highest_precision
 def subject_blocks(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise, z, x_st, valid, eps,
@@ -100,6 +116,7 @@ def subject_blocks(
     return SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB)
 
 
+@_highest_precision
 def kld_upper_bound(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise,                    # [L] GP noise
@@ -179,6 +196,7 @@ def kld_upper_bound(
     return kld_total, grad_m, grad_H, iH_out
 
 
+@_highest_precision
 def deviance_upper_bound(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise, z, x_st, valid, mu_st, log_v_st, eps: float,
@@ -228,6 +246,7 @@ def deviance_upper_bound(
     return jnp.sum(dubo)
 
 
+@_highest_precision
 def sample_elbo(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise, z, x_st, valid, y_st, eps: float,
@@ -273,6 +292,7 @@ deviance_upper_bound_jit = jax.jit(deviance_upper_bound,
 sample_elbo_jit = jax.jit(sample_elbo, static_argnums=(0, 2))
 
 
+@_highest_precision
 def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137).
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hlax.gp.elbo import subject_blocks
+from hlax.gp.elbo import subject_blocks, _highest_precision
 from hlax.gp.kernels import KernelSpec, kernel_matrix
 
 
@@ -42,6 +42,7 @@ def build_test_pred_map(pred_subj_ids, test_subj_ids, pred_T_max=None):
     return idx, val
 
 
+@_highest_precision
 def batch_predict(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
     noise,                 # [L]

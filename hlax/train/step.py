@@ -39,8 +39,17 @@ class TrainConfig:
     natural_gradient: bool = True
     natural_gradient_lr: float = 0.01
     constrain_scales: bool = True
-    eps: float = 1e-6
+    # jitter: dtype-aware default (SURVEY.md §7 'float64 on TPU' hard part):
+    # 1e-6 matches the reference in float64; float32 needs a larger floor or
+    # near-duplicate inducing covariates make Cholesky blow up.
+    eps: Optional[float] = None
     gp_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.eps is None:
+            object.__setattr__(
+                self, "eps",
+                1e-6 if self.gp_dtype == jnp.float64 else 1e-4)
 
 
 class TrainState(NamedTuple):
@@ -98,12 +107,31 @@ def init_train_state(
         zt_init = np.stack([
             rows[rng.choice(len(rows), M, replace=len(rows) < M)]
             for _ in range(L)])
+        # covariates are often on a discrete grid (e.g. integer timepoints),
+        # so sampled inducing rows collide and K0zz becomes singular up to
+        # the jitter.  Nudge the continuous (rbf-active) dims — inducing
+        # points are free trainable parameters, this only improves
+        # conditioning and coverage.
+        rbf_dims = sorted({f.dim for sp in (spec0, spec1)
+                           for c in sp.components for f in c.factors
+                           if f.kind == "rbf"})
+        if rbf_dims:
+            zt_init = zt_init.copy()
+            zt_init[:, :, rbf_dims] += rng.uniform(
+                -0.5, 0.5, zt_init[:, :, rbf_dims].shape)
     zt = jnp.asarray(zt_init, dt)
 
-    m = jax.random.normal(k_m, (L, M, 1), dt)
+    # The reference draws m ~ N(0,1) (HLVAE_main.py:259); combined with the
+    # near-singular RBF Nystrom gram this makes the first KLD terms ~1e8 and
+    # the float32 natural-gradient Cholesky chain diverges.  A damped init
+    # (same distribution, small scale) keeps early magnitudes sane; it is
+    # still a random init, converging to the same optimum.
+    m = 0.01 * jax.random.normal(k_m, (L, M, 1), dt)
     H = jax.random.normal(k_h, (L, M, M), dt) / 10.0
     if cfg.natural_gradient:
-        H = jnp.einsum("lmn,lon->lmo", H, H)
+        # + ridge: R R^T alone has near-zero minimum eigenvalues, which the
+        # float32 natural-gradient Cholesky chain cannot tolerate
+        H = jnp.einsum("lmn,lon->lmo", H, H) + 0.01 * jnp.eye(M, dtype=dt)
 
     k0 = gp_kernels.init_kernel_params(spec0, L, dt)
     k1 = gp_kernels.init_kernel_params(spec1, L, dt)
