@@ -144,6 +144,7 @@ def run(opt: dict) -> dict:
     batches = list(subject_batches(dataset, subjects_per_batch))
     state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg,
                                    seed=opt.get("seed", 0))
+
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state.vae))
     print(f"Total Parameter Number is: {n_params}")
@@ -158,9 +159,29 @@ def run(opt: dict) -> dict:
     else:
         print("Did not load pre-trained values.")
 
+    # optional SPMD: shard subjects over a data mesh axis, GP state over a
+    # latent axis (hlax/parallel/mesh.py); same step, XLA adds collectives.
+    mesh_ctx = None
+    n_dp = opt.get("data_parallel") or 0
+    if n_dp > 1:
+        from hlax.parallel import distributed as pdist
+        from hlax.parallel import mesh as pmesh
+        pdist.initialize()
+        mesh_ctx = pmesh.make_mesh(n_data=n_dp, n_latent=1)
+        mesh_ctx.__enter__()
+        print(f"Running data-parallel over {n_dp} devices")
+
     step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
     gather_fn = jax.jit(gather_batch)
     staged = stage_dataset(dataset, model_dtype)
+    if mesh_ctx is not None:
+        from hlax.parallel import mesh as pmesh
+        state = pmesh.shard_state(state, mesh_ctx)
+        bsh = pmesh.batch_sharding(mesh_ctx)
+        gather_fn = jax.jit(
+            gather_batch,
+            out_shardings={k: bsh[k] for k in
+                           ("data", "mask", "theta_mask", "labels", "valid")})
     nb = n_batches(dataset, subjects_per_batch)
     epochs = opt.get("epochs", 0)
     validation_interval = 5
@@ -240,6 +261,8 @@ def run(opt: dict) -> dict:
                 best_value, best_epoch = validation_curve[-1], epoch
                 ckpt.save(save_path, state, name=ckpt.EARLY_BEST_NAME)
 
+    if mesh_ctx is not None:
+        mesh_ctx.__exit__(None, None, None)
     print("Duration of training: {:.2f} seconds".format(timer() - start))
     print(f"Best epoch is {best_epoch}")
 

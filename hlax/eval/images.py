@@ -59,7 +59,7 @@ def recon_complete_gen(model, vae_params, spec0, k0, spec1, k1, noise, zt,
                        prediction_x: np.ndarray, prediction_mu: np.ndarray,
                        id_covariate: int, results_path: str,
                        epoch: int = -1, n_rows: int = 160,
-                       eps: float = 1e-6) -> str:
+                       eps: Optional[float] = None) -> str:
     """GP-predict z for the first n_rows of the generation set, decode, remap
     5-level quadrants to pixel values, and save the recon grid PDF
     (predict_HealthMNIST.py:64-147)."""

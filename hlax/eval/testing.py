@@ -103,7 +103,7 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
                 test_ds: LongitudinalDataset,
                 prediction_x: np.ndarray, prediction_mu: np.ndarray,
                 id_covariate: int, results_path: Optional[str] = None,
-                test_type: str = "final", eps: float = 1e-6) -> Dict:
+                test_type: str = "final", eps: Optional[float] = None) -> Dict:
     """GP-predict z at test covariates, decode, report vs imputation baseline
     (MSE_test_GPapprox, model_test.py:19-133)."""
     z_pred = gp_predict_dataset(

@@ -83,11 +83,13 @@ def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
 
 
 def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
-                 mu, log_var, eps=1e-6):
+                 mu, log_var, eps=None):
     """Sum of per-equal-T-group DUBOs (validation.py:160-174)."""
     lengths = ds.subject_end - ds.subject_start
     total = 0.0
     gdt = zt.dtype
+    if eps is None:
+        eps = gp_kernels.default_eps(gdt)
     for T in np.unique(lengths):
         sel = np.nonzero(lengths == T)[0]
         S = len(sel)
@@ -109,12 +111,14 @@ def gp_predict_dataset(spec0, k0, spec1, k1, noise, zt,
                        pred_x: np.ndarray, pred_mu: np.ndarray,
                        pred_subject_col: np.ndarray,
                        test_x: np.ndarray, test_subject_col: np.ndarray,
-                       eps=1e-6) -> np.ndarray:
+                       eps=None) -> np.ndarray:
     """Z prediction at test covariates given (pred_x, pred_mu) context.
 
     Host-side packing of the per-subject padded structures + one device call
     (replaces the subject loops of utils.py:137-188)."""
     gdt = zt.dtype
+    if eps is None:
+        eps = gp_kernels.default_eps(gdt)
     L = zt.shape[0]
     # pack prediction rows subject-major (order of first appearance)
     _, first = np.unique(pred_subject_col, return_index=True)
@@ -157,8 +161,10 @@ def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
              train_mu: np.ndarray, train_x: np.ndarray,
              id_covariate: int, results_path: Optional[str],
              context_frames: Optional[int] = None,
-             eps: float = 1e-6) -> pd.DataFrame:
+             eps: Optional[float] = None) -> pd.DataFrame:
     """Full validation pass -> 10-row results frame (validation.py:246-259)."""
+    if eps is None:
+        eps = gp_kernels.default_eps(zt.dtype)
     fm = forward_metrics(model, vae_params, val_ds)
     nll_loss_sum = fm["nll"]
     recon_loss_sum = float(fm["recon_loss"])

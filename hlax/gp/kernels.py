@@ -177,3 +177,9 @@ def noise_value(raw_noise, constrain_scales: bool):
     if constrain_scales:
         return jnp.ones_like(raw_noise)
     return softplus(raw_noise) + 1e-8
+
+
+def default_eps(dtype) -> float:
+    """Dtype-aware jitter: the reference's 1e-6 (HLVAE_main.py:27) in
+    float64; float32 Cholesky needs a larger floor."""
+    return 1e-6 if dtype == jnp.float64 else 1e-4

@@ -116,3 +116,29 @@ def test_cli_train_eval_pipeline(data_dir, tmp_path):
         "vae_error", "GP_error", "vae_mse", "miss_vae_error", "miss_GP_error",
         "net_loss", "GP_loss", "nll_loss", "recon_loss_sum",
         "GP_recon_loss_sum"]
+
+
+def test_cli_data_parallel_smoke(data_dir, tmp_path):
+    """--data_parallel shards the training loop over the virtual CPU mesh."""
+    save = tmp_path / "dp_run"
+    cfg_file = tmp_path / "dp_cfg.txt"
+    cfg_file.write_text("\n".join([
+        f"--data_source_path={data_dir}",
+        f"--save_path={save}",
+        "--csv_types_file=data_types_D4.csv",
+        "--csv_file_data=prediction_data_D4.csv",
+        "--csv_file_label=prediction_label.csv",
+        "--mask_file=prediction_mask.csv",
+        "--latent_dim=4", "--id_covariate=2", "--M=8", "--P=4", "--T=20",
+        "--epochs=3", "--save_interval=50", "--num_dim=1296",
+        "--type_KL=GPapprox_closed", "--subjects_per_batch=4",
+        "--natural_gradient=True", "--constrain_scales=True",
+        "--cat_kernel=[2]", "--bin_kernel=[]", "--sqexp_kernel=[0]",
+        "--cat_int_kernel=[]", "--bin_int_kernel=[]",
+        "--covariate_missing_val=[]",
+        "--hidden_layers=[16]", "--conv_hivae=True", "--y_dim=3",
+        "--data_parallel=2",
+        "--gp_dtype=float64", "--model_dtype=float64",
+    ]))
+    out = main_cli.main([f"--f={cfg_file}"])
+    assert np.isfinite(out["loss_arrs"]["net"]).all()
