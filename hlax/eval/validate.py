@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import pandas as pd
 
-from hlax.data.dataset import LongitudinalDataset, full_padded
+from hlax.data.dataset import LongitudinalDataset
 from hlax.eval import metrics as mx
 from hlax.gp import elbo as gp_elbo
 from hlax.gp import kernels as gp_kernels
