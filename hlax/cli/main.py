@@ -232,7 +232,9 @@ def run(opt: dict) -> dict:
             df = val.validate(
                 model, state.vae, spec0, state.k0, spec1, state.k1,
                 noise_fn(state), state.zt, validation_dataset, train_mu,
-                train_x, id_covariate, results_path)
+                train_x, id_covariate, results_path,
+                type_KL=opt.get("type_KL") or "GPapprox_closed",
+                num_samples=opt.get("num_samples", 1))
             validation_curve.append(float(df.loc["net_loss"].iloc[0]))
             print(f"Validation Duration: {time.time()-tv}")
 
@@ -287,7 +289,9 @@ def run(opt: dict) -> dict:
         train_mu, train_x = encode_train()
         val.validate(model, state.vae, spec0, state.k0, spec1, state.k1,
                      noise_fn(state), state.zt, validation_dataset, train_mu,
-                     train_x, id_covariate, results_path)
+                     train_x, id_covariate, results_path,
+                     type_KL=opt.get("type_KL") or "GPapprox_closed",
+                     num_samples=opt.get("num_samples", 1))
 
     pred_mu = None
     if prediction_dataset is not None:
@@ -323,3 +327,6 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+    # hard-exit: the remote-device client can leave non-daemon threads alive
+    # after all work and artifacts are complete
+    os._exit(0)

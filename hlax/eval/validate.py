@@ -82,6 +82,37 @@ def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
     }
 
 
+def gp_loss_sampled(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
+                    mu, log_var, num_samples: int = 1, eps=None, seed=0):
+    """type_KL='GPapprox' validation GP loss: negative sample-based sparse-GP
+    marginal-likelihood bound averaged over Monte Carlo samples
+    (validation.py:140-148)."""
+    lengths = ds.subject_end - ds.subject_start
+    gdt = zt.dtype
+    if eps is None:
+        eps = gp_kernels.default_eps(gdt)
+    key = jax.random.PRNGKey(seed)
+    total = 0.0
+    for s in range(num_samples):
+        key, sub = jax.random.split(key)
+        z_sample = mu + np.asarray(
+            jax.random.normal(sub, mu.shape, gdt)) * np.exp(0.5 * log_var)
+        for T in np.unique(lengths):
+            sel = np.nonzero(lengths == T)[0]
+            S = len(sel)
+            x_st = np.zeros((S, T, ds.Q))
+            y_st = np.zeros((S, T, mu.shape[1]))
+            for i, sj in enumerate(sel):
+                a, b = ds.subject_start[sj], ds.subject_end[sj]
+                x_st[i], y_st[i] = ds.labels[a:b], z_sample[a:b]
+            val = gp_elbo.sample_elbo_jit(
+                spec0, k0, spec1, k1, noise, zt,
+                jnp.asarray(x_st, gdt), jnp.ones((S, T), gdt),
+                jnp.asarray(y_st, gdt), eps)
+            total += -float(val)
+    return total / num_samples
+
+
 def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
                  mu, log_var, eps=None):
     """Sum of per-equal-T-group DUBOs (validation.py:160-174)."""
@@ -161,6 +192,7 @@ def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
              train_mu: np.ndarray, train_x: np.ndarray,
              id_covariate: int, results_path: Optional[str],
              context_frames: Optional[int] = None,
+             type_KL: str = "GPapprox_closed", num_samples: int = 1,
              eps: Optional[float] = None) -> pd.DataFrame:
     """Full validation pass -> 10-row results frame (validation.py:246-259)."""
     if eps is None:
@@ -168,8 +200,13 @@ def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     fm = forward_metrics(model, vae_params, val_ds)
     nll_loss_sum = fm["nll"]
     recon_loss_sum = float(fm["recon_loss"])
-    gp_loss_sum = gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, val_ds,
-                               fm["mu"], fm["log_var"], eps)
+    if type_KL == "GPapprox":
+        gp_loss_sum = gp_loss_sampled(spec0, k0, spec1, k1, noise, zt,
+                                      val_ds, fm["mu"], fm["log_var"],
+                                      num_samples, eps)
+    else:
+        gp_loss_sum = gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, val_ds,
+                                   fm["mu"], fm["log_var"], eps)
     net_loss_sum = gp_loss_sum + nll_loss_sum
 
     # --- GP extrapolation check (validation.py:182-244) ------------------

@@ -39,8 +39,9 @@ RAW_OS_INIT = 0.0                  # gpytorch ScaleKernel raw init -> softplus(0
 
 @dataclasses.dataclass(frozen=True)
 class KernelFactor:
-    kind: str   # 'cat' | 'bin' | 'rbf'
+    kind: str   # 'cat' | 'bin' | 'rbf' | 'catmod'
     dim: int    # active covariate column
+    num: int = 0   # number of instances (catmod only, kernel_spec.py:35-55)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +123,12 @@ def _factor_matrix(f: KernelFactor, p_comp, i: int, x1, x2):
         return (a == b).astype(x1.dtype)           # kernel_spec.py:31-32
     if f.kind == "bin":
         return (a + b == 2).astype(x1.dtype)       # kernel_spec.py:22-23
+    if f.kind == "catmod":
+        # centered one-vs-rest categorical kernel (CatKernelMod,
+        # kernel_spec.py:35-55; arXiv:1912.03549): 1 on match,
+        # -1/(num-1) otherwise
+        eq = (a == b).astype(x1.dtype)
+        return eq - (1.0 - eq) / (f.num - 1)
     ls = softplus(p_comp[f"raw_ls_{i}"])
     d = (a - b) / ls
     return jnp.exp(-0.5 * d * d)
