@@ -158,6 +158,74 @@ def _chol_inv_impl(a):
     return unpack(l_t), unpack(il_t)
 
 
+
+
+def _bwd_kernel(l_ref, il_ref, lb_ref, ilb_ref, out_ref, t: int):
+    """Cholesky+inverse pullback, all-Pallas, in a plain row-major
+    [T, T, Bs, 128] layout (leading axes = matrix row, col — both untiled).
+
+    Matmuls are unrolled sums of rank-1 outer products over the two untiled
+    leading axes; no reductions over tiled dims, no relayouts except the
+    single final transpose of X.
+    """
+    dtype = l_ref.dtype
+    l, il = l_ref[:], il_ref[:]
+    lb, ilb = lb_ref[:], ilb_ref[:]
+
+    def AB(u, v):    # u @ v
+        return sum(u[:, k][:, None] * v[k][None, :] for k in range(t))
+
+    def ATB(u, v):   # u^T @ v
+        return sum(u[k][:, None] * v[k][None, :] for k in range(t))
+
+    def ABT(u, v):   # u @ v^T
+        return sum(u[:, k][:, None] * v[:, k][None, :] for k in range(t))
+
+    i_ = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1, 1), 0)
+    j_ = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1, 1), 1)
+    tril = (i_ >= j_).astype(dtype)
+    phi = jnp.where(i_ > j_, 1.0,
+                    jnp.where(i_ == j_, 0.5, 0.0)).astype(dtype)
+
+    # Lb2 = Lb + tril(-iL^T iLb iL^T)
+    lb2 = lb - tril * ABT(ATB(il, ilb), il)
+    # P = phi(L^T Lb2)
+    p = phi * ATB(l, lb2)
+    # X = iL^T P iL
+    x = AB(ATB(il, p), il)
+    # Abar = phi(X + X^T)
+    out_ref[:] = phi * (x + jnp.swapaxes(x, 0, 1))
+
+
+def _chol_bwd_tpu(l_t, il_t, lb_t, ilb_t, t: int):
+    bs = l_t.shape[-2]
+    spec = pl.BlockSpec((t, t, bs, 128), lambda i: (0, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, t=t),
+        grid=(1,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(l_t.shape, l_t.dtype),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(l_t, il_t, lb_t, ilb_t)
+
+
+def _pack(x, t, b_pad):
+    """[..., T, T] -> kernel layout [T, T, Bs, 128] (zero batch padding)."""
+    b = int(np.prod(x.shape[:-2])) if x.shape[:-2] else 1
+    x_t = jnp.moveaxis(x.reshape(b, t, t), 0, -1)
+    if b_pad != b:
+        x_t = jnp.concatenate(
+            [x_t, jnp.zeros((t, t, b_pad - b), x.dtype)], axis=-1)
+    return x_t.reshape(t, t, b_pad // 128, 128)
+
+
+def _unpack(x_t, t, b, shape):
+    return jnp.swapaxes(jnp.moveaxis(
+        x_t.reshape(t, t, -1)[..., :b], -1, 0), -1, -2).reshape(shape)
+
+
 def _fwd(a):
     l, il = _chol_inv_impl(a)
     return (l, il), (l, il)
@@ -166,6 +234,19 @@ def _fwd(a):
 def _bwd(res, grads):
     l, il = res
     l_bar, il_bar = grads
+    if not _use_fallback(l):
+        # all-Pallas pullback in the kernel layout
+        t = l.shape[-1]
+        b = int(np.prod(l.shape[:-2])) if l.shape[:-2] else 1
+        b_pad = ((b + 127) // 128) * 128
+        a_bar_t = _chol_bwd_tpu(
+            _pack(l, t, b_pad), _pack(il, t, b_pad),
+            _pack(l_bar, t, b_pad), _pack(il_bar, t, b_pad), t)
+        return (_unpack(a_bar_t, t, b, l.shape),)
+    return _bwd_reference(l, il, l_bar, il_bar)
+
+
+def _bwd_reference(l, il, l_bar, il_bar):
     # fold d(L^{-1}) into dL:  d(iL) = -iL dL iL  =>  L_bar += -iL^T il_bar iL^T
     lt = jnp.swapaxes(l, -1, -2)
     ilt = jnp.swapaxes(il, -1, -2)
