@@ -120,3 +120,28 @@ def test_statistics_pos_and_count():
     np.testing.assert_allclose(mode[:, i_pos], np.exp(0.5 - 0.2) - 1)
     np.testing.assert_allclose(mean[:, i_count], 3.7)
     np.testing.assert_allclose(mode[:, i_count], 3.0)
+
+
+def test_gaussian_to_categorical_bridge():
+    """Bucketed-Gaussian categorical density (HL_VAE/utils.py:188-214):
+    probabilities normalize and peak at the bucket containing the mean."""
+    import jax.numpy as jnp
+    from hlax.eval.bridges import gaussian_to_categorical_density
+    mean = jnp.asarray([[0.1, 0.45, 0.9]])   # buckets 0, 2, 4
+    logv = jnp.full((1, 3), -4.0)
+    # data hits the same buckets -> high density; off-bucket -> lower
+    data_hit = jnp.asarray([[0.05, 110 / 255, 0.95]])
+    data_miss = jnp.asarray([[0.95, 0.0, 0.05]])
+    lp_hit = gaussian_to_categorical_density(mean, logv, data_hit)
+    lp_miss = gaussian_to_categorical_density(mean, logv, data_miss)
+    assert np.all(np.asarray(lp_hit) > np.asarray(lp_miss))
+    assert np.isfinite(np.asarray(lp_hit)).all()
+
+
+def test_pixel_level_converters_roundtrip():
+    import jax.numpy as jnp
+    from hlax.eval.bridges import convert_pixels_to_cat5
+    x = jnp.asarray([[10 / 255, 60 / 255, 120 / 255, 170 / 255, 220 / 255]])
+    idx = np.arange(5)
+    out = np.asarray(convert_pixels_to_cat5(x, idx))
+    np.testing.assert_array_equal(out[0], [0, 1, 2, 3, 4])
