@@ -111,5 +111,58 @@ def main():
     }))
 
 
+
+
+def eval_throughput():
+    """Secondary metric: imputation-eval samples/sec — full encode->decode +
+    masked likelihoods on the canonical-shaped dataset (the reference's
+    HLVAETest hot path, model_test.py:135-275)."""
+    import jax
+    import jax.numpy as jnp
+    from hlax.eval.jits import forward_fn
+    from hlax.data.reader import encode_raw
+    from hlax.data.dataset import LongitudinalDataset
+    from hlax.models import HLVAE, HLVAEConfig
+
+    rng = np.random.default_rng(0)
+    n = P_SUBJ * T
+    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
+             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
+    raw = np.column_stack([rng.random((n, 324)) * 255,
+                           rng.integers(0, 5, (n, 972)).astype(float)])
+    het = encode_raw(raw, types,
+                     miss_mask=(rng.random((n, 1296)) > 0.25).astype(float))
+    labels = np.zeros((n, 6))
+    labels[:, 2] = np.repeat(np.arange(P_SUBJ), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
+    cfg = HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,), y_dim=5,
+                      conv=True, dtype=jnp.float32)
+    model = HLVAE(cfg)
+    key = jax.random.PRNGKey(0)
+    data = jnp.asarray(het.data, jnp.float32)
+    mask = jnp.asarray(het.mask, jnp.float32)
+    tmask = jnp.asarray(het.theta_mask, jnp.float32)
+    params = model.init(key, data[:40], mask[:40], tmask[:40], key)
+    fwd = forward_fn(model)
+    out = fwd(params, data, mask, tmask, key, False)
+    jax.block_until_ready(out["log_p_x"])
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = fwd(params, data, mask, tmask, key, False)
+    jax.block_until_ready(out["log_p_x"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "healthmnist_imputation_eval_samples_per_sec",
+        "value": round(reps * n / dt, 1),
+        "unit": "samples/sec",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "eval":
+        eval_throughput()
+    else:
+        main()
