@@ -228,14 +228,17 @@ def run(opt: dict) -> dict:
                         or epoch % save_interval == 0))
         if run_val:
             tv = time.time()
-            train_mu, train_x = encode_train()
-            df = val.validate(
-                model, state.vae, spec0, state.k0, spec1, state.k1,
-                noise_fn(state), state.zt, validation_dataset, train_mu,
-                train_x, id_covariate, results_path,
-                type_KL=opt.get("type_KL") or "GPapprox_closed",
-                num_samples=opt.get("num_samples", 1))
-            validation_curve.append(float(df.loc["net_loss"].iloc[0]))
+            try:
+                train_mu, train_x = encode_train()
+                df = val.validate(
+                    model, state.vae, spec0, state.k0, spec1, state.k1,
+                    noise_fn(state), state.zt, validation_dataset, train_mu,
+                    train_x, id_covariate, results_path,
+                    type_KL=opt.get("type_KL") or "GPapprox_closed",
+                    num_samples=opt.get("num_samples", 1))
+                validation_curve.append(float(df.loc["net_loss"].iloc[0]))
+            except Exception as exc:   # e.g. transient remote-compile failure
+                print(f"Validation failed (continuing): {exc}")
             print(f"Validation Duration: {time.time()-tv}")
 
         if epoch % save_interval == 0:

@@ -9,10 +9,9 @@ Reference: ``recon_complete_gen`` / plot helpers
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from hlax.data.dataset import LongitudinalDataset

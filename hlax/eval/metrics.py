@@ -9,7 +9,7 @@ in original variable order.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ from hlax.data.dataset import LongitudinalDataset
 from hlax.eval import metrics as mx
 from hlax.eval.jits import decode_fn, forward_fn
 from hlax.eval.validate import gp_predict_dataset
-from hlax.models.hlvae import nll_from_log_p
 from hlax.ops.normalization import batch_normalization
 
 

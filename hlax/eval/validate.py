@@ -15,7 +15,7 @@ structure and the same 10-row ``validation_results.csv`` output:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 import jax

@@ -134,9 +134,10 @@ def kld_upper_bound(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Unbiased mini-batched KLD upper bound (elbo_functions.py:118-285).
 
-    Returns (kld_total, grad_m, grad_H); the gradients are the closed-form
-    natural-gradient quantities of elbo_functions.py:184-192 (None unless
-    ``natural_gradient``).
+    Returns (kld_total, grad_m, grad_H, iH); the gradients are the
+    closed-form natural-gradient quantities of elbo_functions.py:184-192 and
+    iH the Cholesky inverse of H for reuse by natural_gradient_update (all
+    None unless ``natural_gradient``).
     """
     Ldim = z.shape[0]
     M = z.shape[1]

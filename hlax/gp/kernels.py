@@ -17,7 +17,6 @@ also the natural axis to shard across a TPU mesh.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, List, Sequence, Tuple
 
 import jax

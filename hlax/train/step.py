@@ -15,7 +15,6 @@ Cholesky updates — is ONE jitted XLA program over static padded shapes.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

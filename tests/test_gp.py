@@ -285,3 +285,24 @@ def test_sample_elbo_matches_dense_nystrom_oracle():
         tr = np.sum(np.linalg.inv(Bfull) * (K0 - Q0))
         want += loglik - 0.5 * tr
     np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_float32_bound_matches_float64_reference_dtype():
+    """BASELINE.md fidelity check: the float32 fast path reproduces the
+    float64 (reference-dtype) KLD bound to <0.5% relative even on this
+    deliberately ill-conditioned draw (near-singular Nystrom gram; real
+    trained configs are tighter)."""
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v) = \
+        _bound_inputs()
+    args64 = [jnp.asarray(v, jnp.float64) if isinstance(v, np.ndarray) else v
+              for v in (noise, m, H, z, x_st, valid, mu, log_v)]
+    v64, _, _, _ = E.kld_upper_bound(spec0, p0, spec1, p1, *args64,
+                                     P_tot=10.0, N_tot=30.0, eps=1e-4)
+    p0_32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), p0)
+    p1_32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), p1)
+    args32 = [jnp.asarray(v, jnp.float32) if isinstance(v, np.ndarray) else v
+              for v in (noise, m, H, z, x_st, valid, mu, log_v)]
+    v32, _, _, _ = E.kld_upper_bound(spec0, p0_32, spec1, p1_32, *args32,
+                                     P_tot=10.0, N_tot=30.0, eps=1e-4)
+    rel = abs(float(v32) - float(v64)) / abs(float(v64))
+    assert rel < 5e-3, rel
