@@ -35,6 +35,10 @@ def _resolve_dtype(name):
 
 def run(opt: dict) -> dict:
     import jax
+    if opt.get("device"):
+        # must precede first backend use; the axon TPU plugin ignores the
+        # JAX_PLATFORMS env var, but honors the config knob
+        jax.config.update("jax_platforms", opt["device"])
     import jax.numpy as jnp
 
     from hlax.data.dataset import (load_dataset, subject_batches, n_batches,
@@ -141,9 +145,10 @@ def run(opt: dict) -> dict:
         eps=opt.get("eps"), gp_dtype=gp_dtype)
 
     subjects_per_batch = opt.get("subjects_per_batch", 20)
-    batches = list(subject_batches(dataset, subjects_per_batch))
-    state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg,
-                                   seed=opt.get("seed", 0))
+    state = tstep.init_train_state(model, spec0, spec1,
+                                   next(subject_batches(dataset,
+                                                        subjects_per_batch)),
+                                   cfg, seed=opt.get("seed", 0))
 
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state.vae))
@@ -188,9 +193,16 @@ def run(opt: dict) -> dict:
     save_interval = opt.get("save_interval", 100)
     rng = np.random.default_rng(opt.get("seed", 0))
 
-    loss_arrs = {k: [] for k in ("net", "nll", "kld")}
+    loss_arrs = {k: [] for k in ("net", "nll", "kld", "recon")}
     validation_curve = []
+    # per-validation curves (reference training.py:203-216 appends the
+    # validate() df rows; validation_values.pkl and the training_VAE_error /
+    # test_GP_error plots are fed from these)
+    val_arrs = {k: [] for k in ("net", "recon", "gp", "vae_error", "gp_error")}
+    last_val_df = None
     best_value, best_epoch = np.inf, 0
+    best_epoch_missing_imp_error = -1.0
+    miss_recon_loss = 0.0
 
     noise_fn = lambda s: noise_value(s.raw_noise, cfg.constrain_scales)
 
@@ -203,7 +215,8 @@ def run(opt: dict) -> dict:
     start = timer()
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        sums = {"net": 0.0, "nll": 0.0, "kld": 0.0}
+        sums = {"net": 0.0, "nll": 0.0, "kld": 0.0, "recon": 0.0}
+        recon_sum2, miss_recon_sum = 0.0, 0.0
         if profile_dir and epoch == 2:
             jax.profiler.start_trace(profile_dir)
         ep_metrics = []
@@ -214,14 +227,22 @@ def run(opt: dict) -> dict:
             sums["net"] += float(metrics["loss"]) / nb
             sums["nll"] += float(metrics["nll"]) / nb
             sums["kld"] += float(metrics["kld"]) / nb
+            sums["recon"] += float(metrics["recon"]) / nb
+            recon_sum2 += float(metrics["recon"])
+            miss_recon_sum += float(metrics["miss_recon"])
         if profile_dir and epoch == 2:
             jax.profiler.stop_trace()
         print("Iter %d/%d - Time: %.3f  - Loss: %.3f  - GP loss: %.3f  "
-              "- NLL Loss: %.3f" % (epoch, epochs, time.time() - t0,
-                                    sums["net"], sums["kld"], sums["nll"]),
+              "- NLL Loss: %.3f  - Recon Loss: %.3f"
+              % (epoch, epochs, time.time() - t0,
+                 sums["net"], sums["kld"], sums["nll"], recon_sum2),
               flush=True)
         for k in loss_arrs:
             loss_arrs[k].append(sums[k])
+        miss_recon_loss = miss_recon_sum / len(dataset)
+        # reference denominator is N * mask columns (training.py:157)
+        print(f"Error for Training: "
+              f"{recon_sum2 / (len(dataset) * dataset.het.mask.shape[1])}")
 
         run_val = (validation_dataset is not None
                    and (epoch % validation_interval == 0
@@ -236,7 +257,18 @@ def run(opt: dict) -> dict:
                     train_x, id_covariate, results_path,
                     type_KL=opt.get("type_KL") or "GPapprox_closed",
                     num_samples=opt.get("num_samples", 1))
+                # extra bookkeeping rows + curves (training.py:203-216)
+                df.loc["best_epoch"] = float(best_epoch)
+                df.loc["best_epoch_missing_imp_error"] = (
+                    best_epoch_missing_imp_error)
+                df.loc["missing_imp_error"] = miss_recon_loss
+                last_val_df = df
                 validation_curve.append(float(df.loc["net_loss"].iloc[0]))
+                val_arrs["net"].append(float(df.loc["net_loss"].iloc[0]))
+                val_arrs["recon"].append(float(df.loc["nll_loss"].iloc[0]))
+                val_arrs["gp"].append(float(df.loc["GP_loss"].iloc[0]))
+                val_arrs["vae_error"].append(float(df.loc["vae_error"].iloc[0]))
+                val_arrs["gp_error"].append(float(df.loc["GP_error"].iloc[0]))
             except Exception as exc:   # e.g. transient remote-compile failure
                 print(f"Validation failed (continuing): {exc}")
             print(f"Validation Duration: {time.time()-tv}")
@@ -244,7 +276,21 @@ def run(opt: dict) -> dict:
         if epoch % save_interval == 0:
             im.plot_training_info(save_path, net_loss=loss_arrs["net"],
                                   nll=loss_arrs["nll"], kld=loss_arrs["kld"],
+                                  vae_error=val_arrs["vae_error"],
+                                  gp_error=val_arrs["gp_error"],
                                   validation_loss=validation_curve)
+            # validation_df.csv / .pkl / validation_values.pkl
+            # (training.py:205-211; reference gates on epochs > 50)
+            if last_val_df is not None and epochs > 50:
+                last_val_df.to_pickle(os.path.join(save_path,
+                                                   "validation_df.pkl"))
+                last_val_df.to_csv(os.path.join(save_path,
+                                                "validation_df.csv"))
+                with open(os.path.join(save_path, "validation_values.pkl"),
+                          "wb") as f:
+                    pickle.dump([np.asarray(val_arrs[k]) for k in
+                                 ("net", "recon", "gp", "vae_error",
+                                  "gp_error")], f)
             res = tst.hlvae_test(model, state.vae, dataset, test=False,
                                  id_covariate=id_covariate, prnt=False)
             with open(os.path.join(results_path,
@@ -261,15 +307,18 @@ def run(opt: dict) -> dict:
                     prediction_dataset.labels, pred_mu, id_covariate,
                     results_path, epoch=epoch)
 
-        if run_val and epoch > 100:
+        if run_val and epoch > 100 and validation_curve:
             if validation_curve[-1] < best_value:
                 best_value, best_epoch = validation_curve[-1], epoch
+                best_epoch_missing_imp_error = miss_recon_loss
                 ckpt.save(save_path, state, name=ckpt.EARLY_BEST_NAME)
 
     if mesh_ctx is not None:
         mesh_ctx.__exit__(None, None, None)
     print("Duration of training: {:.2f} seconds".format(timer() - start))
     print(f"Best epoch is {best_epoch}")
+    print(f"Best epoch imputation error is {best_epoch_missing_imp_error}")
+    print(f"Imputation error is {miss_recon_loss}")
 
     if opt.get("memory_dbg"):
         for d in jax.local_devices():
@@ -280,9 +329,24 @@ def run(opt: dict) -> dict:
 
     if epochs > 2 and not opt.get("early_stopping"):
         print("Saving")
+        # [penalty, net, nll, recon, kld] — reference order
+        # (HLVAE_main.py:313-314; penalty_term_arr is per-epoch zeros,
+        # training.py:147)
         with open(os.path.join(save_path, "diagnostics.pkl"), "wb") as f:
-            pickle.dump([np.zeros(0)] + [np.asarray(loss_arrs[k])
-                                         for k in ("net", "nll", "kld")], f)
+            pickle.dump([np.zeros(len(loss_arrs["net"]))]
+                        + [np.asarray(loss_arrs[k])
+                           for k in ("net", "nll", "recon", "kld")], f)
+        # plot_values.pkl: [train_x, mu, log_var, z_sample, row_idx]
+        # (HLVAE_main.py:317)
+        try:
+            pv_mu, pv_lv = val.encode_dataset(model, state.vae, dataset)
+            pv_z = pv_mu + np.exp(0.5 * pv_lv) * np.random.default_rng(
+                opt.get("seed", 0)).standard_normal(pv_mu.shape)
+            with open(os.path.join(save_path, "plot_values.pkl"), "wb") as f:
+                pickle.dump([dataset.labels, pv_mu, pv_lv, pv_z,
+                             np.arange(len(dataset))], f)
+        except Exception as exc:
+            print(f"plot_values.pkl skipped: {exc}")
         ckpt.save(save_path, state)
 
     out = {"state": state, "model": model, "loss_arrs": loss_arrs}

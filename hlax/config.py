@@ -120,6 +120,10 @@ class ModelArgs:
             choices=["float32", "bfloat16", "float64"])
         add("--data_parallel", type=int, default=0,
             help="shard subjects over this many devices (0 = all local)")
+        add("--device", type=str, default="",
+            choices=["", "cpu", "tpu"],
+            help="force the jax platform (reference picks cuda-or-cpu, "
+                 "HLVAE_main.py:85; empty = jax default)")
         add("--profile_dir", type=str, default="",
             help="write jax profiler traces here (tracing subsystem)")
         add("--seed", type=int, default=0)

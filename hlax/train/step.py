@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from hlax.eval import metrics as mx
 from hlax.gp import elbo as gp_elbo
 from hlax.gp import kernels as gp_kernels
 from hlax.models.hlvae import HLVAE, nll_from_log_p
@@ -150,6 +151,31 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     theta_mask, labels, and valid [S, T_max].
     """
     tx = make_optimizer(cfg)
+    layout, conv = model.cfg.layout, model.cfg.conv
+    # The reference's per-batch recon metric (training.py:97-101) iterates
+    # partial_error and overwrites recon_loss each pass, so only the type
+    # whose first raw-order occurrence is LAST survives.  Reproduce that.
+    kinds_raw = layout.var_kinds_grouped()[np.asarray(layout.raw_inv)]
+    last_kind = list(dict.fromkeys(kinds_raw))[-1]
+
+    def recon_metric(params, data, mask, row_valid):
+        """Training recon-error metric, computed inside the step graph (the
+        reference re-runs statistics/error_computation on host every batch,
+        training.py:84-102; here it fuses into the same XLA program).
+        ``row_valid`` [B] zeroes the padded rows of the subject batch."""
+        mean_rec, _ = mx.statistics(params, layout, conv)
+        truth = mx.discrete_transform(data, layout)
+        true_mask = row_valid[:, None] * jnp.ones_like(mask)
+        _, err_missing, partial = mx.error_computation(
+            truth, mean_rec, layout, mask * row_valid[:, None], conv=conv,
+            true_mask=true_mask)
+        n_rows = jnp.sum(row_valid)
+        recon = jnp.sum(partial[last_kind]["error_all"]) * n_rows
+        # the reference *intended* to also track the missing-imputation error
+        # (training.py:103, commented out, leaving missing_imp_error = 0 in
+        # validation_df); we track the intended quantity.
+        miss = jnp.sum(err_missing)
+        return recon, miss
 
     def loss_fn(train, fixed, batch, rng):
         p = {**train, **fixed}
@@ -176,8 +202,11 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
         P_batch = jnp.sum((valid.sum(axis=1) > 0).astype(nll.dtype))
         nll_scaled = nll * cfg.P_tot / P_batch
         loss = nll_scaled + kld.astype(nll.dtype)
+        recon, miss_recon = recon_metric(
+            jax.lax.stop_gradient(out["params"]), batch["data"],
+            batch["mask"], valid.reshape(-1).astype(batch["mask"].dtype))
         aux = {"nll": nll_scaled, "kld": kld, "grad_m": gm, "grad_H": gH,
-               "iH": iH,
+               "iH": iH, "recon": recon, "miss_recon": miss_recon,
                "mu": out["mu"], "log_var": out["log_var"],
                "log_p_x": out["log_p_x"]}
         return loss, aux
@@ -203,7 +232,8 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
                 cfg.natural_gradient_lr,
                 iH=jax.lax.stop_gradient(aux["iH"]))
             new = new._replace(m=m_new, H=H_new)
-        metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"]}
+        metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"],
+                   "recon": aux["recon"], "miss_recon": aux["miss_recon"]}
         return new, metrics
 
     return step

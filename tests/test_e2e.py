@@ -116,6 +116,18 @@ def test_cli_train_eval_pipeline(data_dir, tmp_path):
         "vae_error", "GP_error", "vae_mse", "miss_vae_error", "miss_GP_error",
         "net_loss", "GP_loss", "nll_loss", "recon_loss_sum",
         "GP_recon_loss_sum"]
+    # diagnostics.pkl: reference layout [penalty, net, nll, recon, kld]
+    # (HLVAE_main.py:313-314), each per-epoch, recon populated and finite
+    import pickle
+    with open(os.path.join(str(save), "diagnostics.pkl"), "rb") as f:
+        diag = pickle.load(f)
+    assert len(diag) == 5
+    assert all(len(a) == 3 for a in diag)          # epochs=3
+    assert np.isfinite(diag[3]).all() and (diag[3] > 0).all()
+    # plot_values.pkl: [train_x, mu, log_var, z, idx] (HLVAE_main.py:317)
+    with open(os.path.join(str(save), "plot_values.pkl"), "rb") as f:
+        pv = pickle.load(f)
+    assert len(pv) == 5 and pv[1].shape == (80, 4)
 
 
 def test_cli_data_parallel_smoke(data_dir, tmp_path):
