@@ -366,7 +366,8 @@ def run(opt: dict) -> dict:
 
     if test_dataset is not None:
         res = tst.hlvae_test(model, state.vae, test_dataset, test=True,
-                             id_covariate=id_covariate)
+                             id_covariate=id_covariate,
+                             training_indexes=dataset.labels[:, -1])
         with open(os.path.join(results_path,
                                "partial_metrics_test_VAE.pickle"), "wb") as f:
             pickle.dump(res["partial_LL"], f)
@@ -383,7 +384,8 @@ def run(opt: dict) -> dict:
         tst.mse_test_gp(model, state.vae, spec0, state.k0, spec1, state.k1,
                         noise_fn(state), state.zt, test_dataset,
                         prediction_dataset.labels, pred_mu, id_covariate,
-                        results_path, test_type=test_type)
+                        results_path, test_type=test_type,
+                        training_indexes=dataset.labels[:, -1])
     return out
 
 

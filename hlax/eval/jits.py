@@ -4,12 +4,18 @@ The eval battery (validate / hlvae_test / mse_test_gp) calls the model many
 times outside the training step.  Naively re-wrapping ``model.apply`` per
 call would either re-trace every time (new closure objects) or run eagerly
 (thousands of op dispatches — disastrous through a remote-device tunnel).
-This module keeps ONE jitted closure per (model, entry point), keyed by the
-model object's identity.
+This module keeps ONE jitted closure per (model, entry point).
+
+Keys are ``(id(model), name)``, which is safe here because the cached
+closure itself holds a strong reference to the model: an id cannot be reused
+while its entry is cached.  A finalizer evicts the entries if the cache's
+reference is ever the last one dropped (belt and braces against stale
+closures after GC id reuse).
 """
 
 from __future__ import annotations
 
+import weakref
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -17,12 +23,21 @@ import jax
 _CACHE: Dict[Tuple[int, str], Callable] = {}
 
 
-def _get(model, name: str, builder: Callable[[], Callable]) -> Callable:
+def _evict(key: Tuple[int, str]) -> None:
+    _CACHE.pop(key, None)
+
+
+def _get(model, name: str, builder: Callable[[], Callable],
+         **jit_kwargs) -> Callable:
     key = (id(model), name)
     fn = _CACHE.get(key)
     if fn is None:
-        fn = jax.jit(builder())
+        fn = jax.jit(builder(), **jit_kwargs)
         _CACHE[key] = fn
+        try:
+            weakref.finalize(model, _evict, key)
+        except TypeError:   # non-weakref-able model objects
+            pass
     return fn
 
 
@@ -40,12 +55,7 @@ def forward_fn(model):
         def f(vae, data, mask, tmask, rng, sample):
             return model.apply(vae, data, mask, tmask, rng, sample=sample)
         return f
-    key = (id(model), "forward")
-    fn = _CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(build(), static_argnums=(5,))
-        _CACHE[key] = fn
-    return fn
+    return _get(model, "forward", build, static_argnums=(5,))
 
 
 def decode_fn(model):

@@ -206,9 +206,3 @@ def mean_imputation(x_true, mask, layout: TypeLayout) -> np.ndarray:
             fill = obs.mean() if obs.size else 0.0
         out[:, j] = x_true[:, j] * mask[:, j] + fill * (1 - mask[:, j])
     return out
-
-
-def params_to_stats_inputs(params_list):
-    """Identity hook kept for API clarity: HLVAE.loglik already returns
-    per-group params in the shape ``statistics`` expects."""
-    return params_list

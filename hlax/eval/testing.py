@@ -33,6 +33,19 @@ def _unseen_frame_rows(ds: LongitudinalDataset, first_frames: int = 5
     return np.concatenate(rows) if rows else np.zeros(0, np.int64)
 
 
+def _unseen_rows(ds: LongitudinalDataset, conv: bool,
+                 training_indexes=None, first_frames: int = 5) -> np.ndarray:
+    """Unseen-row selection (model_test.py:67-72, 157-161): conv datasets use
+    frames first_frames..T-1 per subject; non-conv datasets treat the LAST
+    label column as a globally unique row index and keep test rows whose
+    index does not appear in the training set's last label column."""
+    if conv or training_indexes is None:
+        return _unseen_frame_rows(ds, first_frames)
+    seen = np.unique(np.asarray(training_indexes).astype(np.int64))
+    last = ds.labels[:, -1].astype(np.int64)
+    return np.nonzero(~np.isin(last, seen))[0]
+
+
 def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
                     rows: np.ndarray) -> Dict:
     """Shared mean/mode/imputation error + partial LL computation."""
@@ -66,10 +79,11 @@ def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
 
 def hlvae_test(model, vae_params, ds: LongitudinalDataset,
                test: bool = False, id_covariate: int = 2, T: int = 20,
-               prnt: bool = True) -> Dict:
+               prnt: bool = True, training_indexes=None) -> Dict:
     """Pure encode->decode metrics over a dataset (HLVAETest,
     model_test.py:135-275): uses the q(z) mean, no sampling; with
-    ``test=True`` restricts to unseen frames 5..T-1 per subject."""
+    ``test=True`` restricts to unseen rows — frames 5..T-1 per subject in
+    conv mode, label-set difference vs ``training_indexes`` otherwise."""
     dt = model.cfg.dtype
     het = ds.het
     data = jnp.asarray(het.data, dt)
@@ -77,7 +91,8 @@ def hlvae_test(model, vae_params, ds: LongitudinalDataset,
     tmask = jnp.asarray(het.theta_mask, dt)
     out = forward_fn(model)(vae_params, data, mask, tmask,
                             jax.random.PRNGKey(0), False)
-    rows = _unseen_frame_rows(ds, 5) if test else np.arange(len(ds))
+    rows = (_unseen_rows(ds, model.cfg.conv, training_indexes) if test
+            else np.arange(len(ds)))
     res = _metric_battery(model, ds, data, mask, out["log_p_x"],
                           out["log_p_x_missing"], out["params"], rows)
     m_np = np.asarray(mask)[rows]
@@ -102,7 +117,8 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
                 test_ds: LongitudinalDataset,
                 prediction_x: np.ndarray, prediction_mu: np.ndarray,
                 id_covariate: int, results_path: Optional[str] = None,
-                test_type: str = "final", eps: Optional[float] = None) -> Dict:
+                test_type: str = "final", eps: Optional[float] = None,
+                training_indexes=None) -> Dict:
     """GP-predict z at test covariates, decode, report vs imputation baseline
     (MSE_test_GPapprox, model_test.py:19-133)."""
     z_pred = gp_predict_dataset(
@@ -120,7 +136,7 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     log_p_x, log_p_x_missing, params, _ = decode_fn(model)(
         vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params)
 
-    rows = _unseen_frame_rows(test_ds, 5)
+    rows = _unseen_rows(test_ds, model.cfg.conv, training_indexes)
     res = _metric_battery(model, test_ds, data, mask, log_p_x,
                           log_p_x_missing, params, rows)
     sub = lambda a: a[jnp.asarray(rows)]
