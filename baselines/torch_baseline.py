@@ -145,7 +145,7 @@ class VAE(torch.nn.Module):
         self.log_vy_real = torch.nn.Parameter(
             torch.full((N_REAL,), float(np.log(1.0 - np.exp(-8.0))), dtype=DT))
 
-    def forward(self, x_real, x_cat, m_real, m_cat):
+    def forward(self, x_real, x_cat, m_real, m_cat, eps=None):
         b = x_real.shape[0]
         # masked normalization: real conv -> /255; cat passthrough
         xr = x_real * m_real / 255.0
@@ -157,7 +157,9 @@ class VAE(torch.nn.Module):
         h = F.max_pool2d(F.relu(self.conv2(h)), 2)
         h = F.relu(self.fc(h.reshape(b, -1)))
         mu, logv = self.mean(h), torch.clamp(self.logv(h), -15, 15)
-        z = mu + torch.randn_like(mu) * torch.exp(0.5 * logv)
+        if eps is None:
+            eps = torch.randn_like(mu)
+        z = mu + eps * torch.exp(0.5 * logv)
 
         y = self.ylin(F.relu(self.dhid(z))).view(b, 32, 9, 9)
         y = self.dc2(F.relu(self.dc1(y)))
