@@ -37,16 +37,32 @@ def make_mesh(n_data: Optional[int] = None, n_latent: int = 1,
     return Mesh(devs, (DATA_AXIS, LATENT_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
+def _dim0_fits(x, axis_size: int) -> bool:
+    """GSPMD/device_put require the sharded dim to divide evenly; leaves
+    whose leading dim doesn't divide fall back to replication."""
+    shape = getattr(x, "shape", ())
+    return len(shape) >= 1 and shape[0] % axis_size == 0
+
+
+def batch_sharding(mesh: Mesh, batch: Optional[Dict[str, Any]] = None
+                   ) -> Dict[str, NamedSharding]:
     """Shardings for a padded subject-major batch: flat row arrays and the
-    [S, T] validity mask both shard the subject axis."""
+    [S, T] validity mask both shard the subject axis.  With a ``batch``
+    template, non-divisible leaves (e.g. valid [S, T] when S doesn't divide
+    the data axis) replicate instead."""
     row = NamedSharding(mesh, P(DATA_AXIS))
-    return {"data": row, "mask": row, "theta_mask": row, "labels": row,
-            "valid": row, "idx": row}
+    rep = NamedSharding(mesh, P())
+    sh = {"data": row, "mask": row, "theta_mask": row, "labels": row,
+          "valid": row, "idx": row}
+    if batch is not None:
+        n = mesh.shape[DATA_AXIS]
+        sh = {k: (sh.get(k, rep) if _dim0_fits(v, n) else rep)
+              for k, v in batch.items()}
+    return sh
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, batch)
     return {k: jax.device_put(v, sh.get(k, NamedSharding(mesh, P())))
             for k, v in batch.items()}
 
@@ -71,10 +87,12 @@ def state_shardings(state, mesh: Mesh):
         return jax.tree_util.tree_map(
             lambda x: rep, t)
 
+    n_lat = mesh.shape[LATENT_AXIS]
     repl = {f: jax.tree_util.tree_map(lambda _: rep, getattr(state, f))
             for f in state._fields}
     for f in GP_STATE_FIELDS:
-        repl[f] = jax.tree_util.tree_map(lambda _: lat, getattr(state, f))
+        repl[f] = jax.tree_util.tree_map(
+            lambda x: lat if _dim0_fits(x, n_lat) else rep, getattr(state, f))
     # opt_state entries for GP trainables shard on latent where shapes allow;
     # replicating is also valid — jit will reshard as needed.
     repl["opt_state"] = opt_leafs(state.opt_state)
@@ -84,3 +102,27 @@ def state_shardings(state, mesh: Mesh):
 def shard_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, state_shardings(state, mesh))
+
+
+def jit_train_step(step_fn, state, mesh: Mesh, batch, donate: bool = False):
+    """jit the train step with EXPLICIT in/out shardings.
+
+    Placement-only sharding (device_put the inputs, jit infers) leaves the
+    steady-state layout to XLA's propagation choices; pinning in_shardings +
+    out_shardings guarantees the GP state stays latent-sharded and the batch
+    data-sharded across every step, so collectives stay where the design put
+    them (psum over 'data' for the KLD accumulators and the normalization
+    moments; none over 'latent').  Leaves whose leading dim doesn't divide
+    the axis size (e.g. L=5 on a 2-device latent axis) replicate instead.
+
+    ``step_fn``: the function from make_train_step.  ``state``: a template
+    TrainState (for tree structure).  ``batch``: a template batch dict (for
+    its key set).  Returns jitted ``step(state, batch) -> (state, metrics)``.
+    """
+    st_sh = state_shardings(state, mesh)
+    rep = NamedSharding(mesh, P())
+    in_b = batch_sharding(mesh, batch)
+    return jax.jit(step_fn,
+                   in_shardings=(st_sh, in_b),
+                   out_shardings=(st_sh, rep),
+                   donate_argnums=(0,) if donate else ())

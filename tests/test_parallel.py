@@ -16,8 +16,7 @@ from hlax.parallel import mesh as pmesh
 from hlax.train import step as tstep
 
 
-def _setup():
-    S, T, L, M = 8, 4, 4, 6
+def _setup(S=8, T=4, L=4, M=6):
     rng = np.random.default_rng(2)
     types = [{"type": "real", "dim": 1, "nclass": 1},
              {"type": "cat", "dim": 1, "nclass": 3}]
@@ -79,3 +78,33 @@ def test_data_parallel_only_mesh():
         s2, m2 = jax.jit(step)(pmesh.shard_state(state, mesh),
                                pmesh.shard_batch(db, mesh))
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-9)
+
+
+def test_explicit_shardings_uneven_latent():
+    """jit_train_step with explicit in/out shardings, L=5 NOT divisible by
+    the 2-device latent axis and S=6 not divisible by the 4-device data axis
+    (non-divisible leaves fall back to replication); results must match
+    unsharded execution."""
+    assert len(jax.devices()) >= 8
+    step, state, batch = _setup(S=6, L=5)
+    db = tstep.device_batch(batch, jnp.float64)
+    s1, m1 = jax.jit(step)(state, db)
+
+    mesh = pmesh.make_mesh(n_data=4, n_latent=2)
+    with mesh:
+        state_sh = pmesh.shard_state(state, mesh)
+        db_sh = pmesh.shard_batch(db, mesh)
+        jstep = pmesh.jit_train_step(step, state, mesh, db)
+        s2, m2 = jstep(state_sh, db_sh)
+        loss2 = float(m2["loss"])
+        # output state keeps the pinned shardings and feeds the next step
+        s3, m3 = jstep(s2, db_sh)
+        assert np.isfinite(float(m3["loss"]))
+
+    np.testing.assert_allclose(loss2, float(m1["loss"]), rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(s1._replace(opt_state=None,
+                                                          rng=None)),
+                    jax.tree_util.tree_leaves(s2._replace(opt_state=None,
+                                                          rng=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
