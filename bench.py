@@ -33,8 +33,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baselines", "baseline_cpu.json")
 
 P_SUBJ, T, LATENT, M, S_BATCH = 200, 20, 32, 120, 20
-STEPS_MEASURED = 30
-TRAIN_STEPS = 3000   # extra steps (~300 epochs) before the eval measurement
+EPOCHS_MEASURED = 30     # 10 steps/epoch at canonical scale -> 300 steps
+TRAIN_EPOCHS = 300       # extra epochs before the eval measurement
 
 
 def build():
@@ -42,7 +42,8 @@ def build():
     import jax.numpy as jnp
 
     from hlax.data.reader import encode_raw
-    from hlax.data.dataset import LongitudinalDataset, subject_batches
+    from hlax.data.dataset import (LongitudinalDataset, subject_batches,
+                                   stage_dataset)
     from hlax.gp.kernels import build_kernel_specs
     from hlax.models import HLVAE, HLVAEConfig
     from hlax.train import step as tstep
@@ -78,31 +79,41 @@ def build():
     mcfg = HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,), y_dim=5,
                        conv=True, dtype=jnp.float32)
     model = HLVAE(mcfg)
-    batches = list(subject_batches(ds, S_BATCH))
-    state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg, seed=0)
-    step = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg), donate_argnums=0)
-    # pre-stage all batches in HBM (one host->device transfer total)
-    dev_batches = [tstep.device_batch(b, jnp.float32) for b in batches]
-    return step, state, dev_batches, model, het
+    state = tstep.init_train_state(model, spec0, spec1,
+                                   next(subject_batches(ds, S_BATCH)), cfg,
+                                   seed=0)
+    # the CLI training path: whole-epoch lax.scan over on-device gathered
+    # batches, ONE dispatch per epoch (hlax/train/step.py make_train_epoch)
+    epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg),
+                       donate_argnums=0)
+    staged = stage_dataset(ds, jnp.float32)
+    return epoch_fn, state, staged, model, het, ds
 
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from hlax.data.dataset import epoch_subject_batches
 
-    step, state, dev_batches, model, het = build()
-    nb = len(dev_batches)
+    epoch_fn, state, staged, model, het, ds = build()
+    nb = (P_SUBJ + S_BATCH - 1) // S_BATCH
+    rng = np.random.default_rng(0)
 
-    # warmup: compile + 2 steps
-    state, metrics = step(state, dev_batches[0])
-    state, metrics = step(state, dev_batches[1 % nb])
+    def idx_mat():
+        return jnp.asarray(np.stack(list(
+            epoch_subject_batches(ds.P, S_BATCH, rng))))
+
+    # warmup: compile + 2 epochs
+    state, metrics = epoch_fn(state, staged, idx_mat())
+    state, metrics = epoch_fn(state, staged, idx_mat())
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(STEPS_MEASURED):
-        state, metrics = step(state, dev_batches[i % nb])
+    for _ in range(EPOCHS_MEASURED):
+        state, metrics = epoch_fn(state, staged, idx_mat())
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    steps_per_sec = STEPS_MEASURED / dt
+    steps_per_sec = EPOCHS_MEASURED * nb / dt
 
     baseline = {}
     if os.path.isfile(BASELINE_FILE):
@@ -118,10 +129,10 @@ def main():
     }), flush=True)
 
     # train to convergence so the eval metric is quoted at a real ELBO
-    for i in range(TRAIN_STEPS):
-        state, metrics = step(state, dev_batches[i % nb])
+    for _ in range(TRAIN_EPOCHS):
+        state, metrics = epoch_fn(state, staged, idx_mat())
     jax.block_until_ready(metrics["loss"])
-    final_loss = float(metrics["loss"])
+    final_loss = float(np.asarray(metrics["loss"])[-1])
 
     eval_throughput(model, state.vae, het,
                     baseline.get("eval_samples_per_sec"), final_loss)

@@ -41,7 +41,7 @@ def run(opt: dict) -> dict:
         jax.config.update("jax_platforms", opt["device"])
     import jax.numpy as jnp
 
-    from hlax.data.dataset import (load_dataset, subject_batches, n_batches,
+    from hlax.data.dataset import (load_dataset, subject_batches,
                                    stage_dataset, gather_batch,
                                    epoch_subject_batches)
     from hlax.eval import images as im
@@ -176,18 +176,24 @@ def run(opt: dict) -> dict:
         mesh_ctx.__enter__()
         print(f"Running data-parallel over {n_dp} devices")
 
-    step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
-    gather_fn = jax.jit(gather_batch)
     staged = stage_dataset(dataset, model_dtype)
     if mesh_ctx is not None:
+        # data-parallel: per-step dispatch with sharded gathered batches
+        # (the gather crosses shards, so it runs outside the step)
         from hlax.parallel import mesh as pmesh
         state = pmesh.shard_state(state, mesh_ctx)
         bsh = pmesh.batch_sharding(mesh_ctx)
+        step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
         gather_fn = jax.jit(
             gather_batch,
             out_shardings={k: bsh[k] for k in
                            ("data", "mask", "theta_mask", "labels", "valid")})
-    nb = n_batches(dataset, subjects_per_batch)
+        epoch_fn = None
+    else:
+        # single-device: the whole epoch is ONE dispatched XLA program
+        # (lax.scan over on-device gathered batches; ~7x steps/sec through a
+        # remote-device link vs per-step dispatch)
+        epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
     epochs = opt.get("epochs", 0)
     validation_interval = 5
     save_interval = opt.get("save_interval", 100)
@@ -219,17 +225,24 @@ def run(opt: dict) -> dict:
         recon_sum2, miss_recon_sum = 0.0, 0.0
         if profile_dir and epoch == 2:
             jax.profiler.start_trace(profile_dir)
-        ep_metrics = []
-        for idx in epoch_subject_batches(dataset.P, subjects_per_batch, rng):
-            state, metrics = step_fn(state, gather_fn(staged, idx))
-            ep_metrics.append(metrics)
-        for metrics in ep_metrics:   # one device sync per epoch, not per step
-            sums["net"] += float(metrics["loss"]) / nb
-            sums["nll"] += float(metrics["nll"]) / nb
-            sums["kld"] += float(metrics["kld"]) / nb
-            sums["recon"] += float(metrics["recon"]) / nb
-            recon_sum2 += float(metrics["recon"])
-            miss_recon_sum += float(metrics["miss_recon"])
+        idx_mat = np.stack(list(
+            epoch_subject_batches(dataset.P, subjects_per_batch, rng)))
+        if epoch_fn is not None:
+            state, ms = epoch_fn(state, staged, jnp.asarray(idx_mat))
+            ms = {k: np.asarray(v) for k, v in ms.items()}   # [nb] each
+        else:
+            ep_metrics = []
+            for idx in idx_mat:
+                state, metrics = step_fn(state, gather_fn(staged, idx))
+                ep_metrics.append(metrics)
+            ms = {k: np.asarray([float(m[k]) for m in ep_metrics])
+                  for k in ep_metrics[0]}
+        sums["net"] = float(ms["loss"].mean())
+        sums["nll"] = float(ms["nll"].mean())
+        sums["kld"] = float(ms["kld"].mean())
+        sums["recon"] = float(ms["recon"].mean())
+        recon_sum2 = float(ms["recon"].sum())
+        miss_recon_sum = float(ms["miss_recon"].sum())
         if profile_dir and epoch == 2:
             jax.profiler.stop_trace()
         print("Iter %d/%d - Time: %.3f  - Loss: %.3f  - GP loss: %.3f  "

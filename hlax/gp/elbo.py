@@ -131,6 +131,7 @@ def kld_upper_bound(
     N_tot,                    # total number of rows in the dataset
     eps: float,
     natural_gradient: bool = False,
+    use_pallas_chol: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Unbiased mini-batched KLD upper bound (elbo_functions.py:118-285).
 
@@ -143,7 +144,7 @@ def kld_upper_bound(
     M = z.shape[1]
 
     blk = subject_blocks(spec0, params0, spec1, params1, noise, z, x_st,
-                         valid, eps)
+                         valid, eps, use_pallas_chol=use_pallas_chol)
 
     # number of real subjects in the batch (all-padding subjects don't count)
     P_batch = jnp.sum(jnp.any(valid > 0, axis=1).astype(x_st.dtype))

@@ -44,6 +44,11 @@ class TrainConfig:
     # near-duplicate inducing covariates make Cholesky blow up.
     eps: Optional[float] = None
     gp_dtype: Any = jnp.float32
+    # Pallas batch-on-lanes Cholesky inside the training bound: measured
+    # SLOWER than XLA's Cholesky+VJP in the fused training graph (pack/unpack
+    # transposes + extra launches; A/B in NOTES.md) — off by default, kept as
+    # a config switch so the decision stays re-measurable.
+    use_pallas_chol: bool = False
 
     def __post_init__(self):
         if self.eps is None:
@@ -197,7 +202,8 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
             spec0, p["k0"], spec1, p["k1"], noise, p["m"], PSD_H, p["zt"],
             x_st, valid.astype(gdt), mu_st, log_v_st,
             cfg.P_tot, cfg.N_tot, cfg.eps,
-            natural_gradient=cfg.natural_gradient)
+            natural_gradient=cfg.natural_gradient,
+            use_pallas_chol=cfg.use_pallas_chol)
 
         P_batch = jnp.sum((valid.sum(axis=1) > 0).astype(nll.dtype))
         nll_scaled = nll * cfg.P_tot / P_batch
@@ -237,6 +243,29 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
         return new, metrics
 
     return step
+
+
+def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig):
+    """Whole-epoch training as ONE XLA program (jit-ready).
+
+    ``epoch(state, staged, idx_batches)``: lax.scan of the train step over
+    [n_batches, S] subject-index arrays, gathering each padded batch from the
+    device-staged dataset inside the scan body.  One dispatch per EPOCH
+    instead of one per step — through a remote-device link the per-step
+    dispatch latency dominates (A/B on v5e: 2.4k steps/sec dispatched
+    per-step vs 17.3k scanned; the reference re-enters Python per batch,
+    training.py:70).  Returns (state, metrics) with metrics stacked [nb].
+    """
+    from hlax.data.dataset import gather_batch
+
+    step = make_train_step(model, spec0, spec1, cfg)
+
+    def epoch(state: TrainState, staged, idx_batches):
+        def body(st, idx):
+            return step(st, gather_batch(staged, idx))
+        return jax.lax.scan(body, state, idx_batches)
+
+    return epoch
 
 
 def device_batch(batch: Dict[str, np.ndarray], dtype) -> Dict[str, jnp.ndarray]:
