@@ -37,7 +37,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_UNROLLED_T = 48      # beyond this, fall back to jnp.linalg
-_LANE_TILE = 512         # batch elements per grid step
+_VMEM_BUDGET = 13 * 1024 * 1024   # per-grid-step working-set budget (bytes)
+
+
+def _batch_tile(t: int, n_bufs: int) -> int:
+    """Sublane-batch tile per grid step so ~n_bufs [T,T,tile,128] f32 buffers
+    fit the 16MB scoped-VMEM limit (a single whole-batch block OOMs it for
+    T~25 at eval scale).  Mosaic requires the sublane block be a multiple of
+    8; returns 0 when even tile=8 cannot fit (caller falls back to XLA)."""
+    unit = t * t * 128 * 4
+    tile = _VMEM_BUDGET // (n_bufs * unit)
+    return (tile // 8) * 8
 
 
 def _kernel(a_ref, l_ref, il_ref, t: int):
@@ -75,12 +85,11 @@ def _kernel(a_ref, l_ref, il_ref, t: int):
         il_ref[:] = il_ref[:] - f[None, :] * vj[:, None]
 
 
-def _chol_inv_tpu(a_t: jnp.ndarray, t: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """a_t [T, T, Bs, 128] -> (L, iL) in the same layout."""
+def _chol_inv_tpu(a_t: jnp.ndarray, t: int,
+                  tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """a_t [T, T, Bs, 128] (Bs divisible by tile) -> (L, iL) same layout."""
     bs = a_t.shape[-2]
-    # grid over sublane-batch chunks when large
-    tile = bs
-    grid = (1,)
+    grid = (bs // tile,)
     spec = pl.BlockSpec((t, t, tile, 128), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)
@@ -123,9 +132,9 @@ def chol_inv_small(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 FORCE_PALLAS = False
 
 
-def _use_fallback(a) -> bool:
+def _use_fallback(a, n_bufs: int = 5) -> bool:
     t = a.shape[-1]
-    if t > MAX_UNROLLED_T:
+    if t > MAX_UNROLLED_T or _batch_tile(t, n_bufs) == 0:
         return True
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu:
@@ -143,15 +152,18 @@ def _chol_inv_impl(a):
 
     batch_shape = a.shape[:-2]
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    # pad the batch to full 128-lane rows
-    b_pad = ((b + 127) // 128) * 128
+    # pad the batch to whole [tile, 128] grid blocks (identity blocks so the
+    # factorization stays finite on padding)
+    tile = _batch_tile(t, n_bufs=5)
+    blk = tile * 128
+    b_pad = ((b + blk - 1) // blk) * blk
     a_t = jnp.moveaxis(a.reshape(b, t, t), 0, -1)             # [T, T, B]
     if b_pad != b:
         pad = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype)[:, :, None],
                                (t, t, b_pad - b))
         a_t = jnp.concatenate([a_t, pad], axis=-1)
     a_t = a_t.reshape(t, t, b_pad // 128, 128)
-    l_t, il_t = _chol_inv_tpu(a_t, t)
+    l_t, il_t = _chol_inv_tpu(a_t, t, tile)
     # kernel outputs are column-major in the leading two axes -> transpose
     unpack = lambda x: jnp.swapaxes(jnp.moveaxis(
         x.reshape(t, t, b_pad)[..., :b], -1, 0), -1, -2).reshape(a.shape)
@@ -197,13 +209,13 @@ def _bwd_kernel(l_ref, il_ref, lb_ref, ilb_ref, out_ref, t: int):
     out_ref[:] = phi * (x + jnp.swapaxes(x, 0, 1))
 
 
-def _chol_bwd_tpu(l_t, il_t, lb_t, ilb_t, t: int):
+def _chol_bwd_tpu(l_t, il_t, lb_t, ilb_t, t: int, tile: int):
     bs = l_t.shape[-2]
-    spec = pl.BlockSpec((t, t, bs, 128), lambda i: (0, 0, i, 0),
+    spec = pl.BlockSpec((t, t, tile, 128), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, t=t),
-        grid=(1,),
+        grid=(bs // tile,),
         in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(l_t.shape, l_t.dtype),
@@ -234,14 +246,17 @@ def _fwd(a):
 def _bwd(res, grads):
     l, il = res
     l_bar, il_bar = grads
-    if not _use_fallback(l):
-        # all-Pallas pullback in the kernel layout
+    # the backward holds ~10 live [T,T,tile,128] tensors; when tile=8 cannot
+    # fit (T >~ 16) or the forward fell back, use the XLA reference pullback
+    if not _use_fallback(l, n_bufs=10):
         t = l.shape[-1]
         b = int(np.prod(l.shape[:-2])) if l.shape[:-2] else 1
-        b_pad = ((b + 127) // 128) * 128
+        tile = _batch_tile(t, n_bufs=10)
+        blk = tile * 128
+        b_pad = ((b + blk - 1) // blk) * blk
         a_bar_t = _chol_bwd_tpu(
             _pack(l, t, b_pad), _pack(il, t, b_pad),
-            _pack(l_bar, t, b_pad), _pack(il_bar, t, b_pad), t)
+            _pack(l_bar, t, b_pad), _pack(il_bar, t, b_pad), t, tile)
         return (_unpack(a_bar_t, t, b, l.shape),)
     return _bwd_reference(l, il, l_bar, il_bar)
 
