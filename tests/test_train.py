@@ -146,3 +146,48 @@ def test_smoke_train_all_types_with_beta_and_logvar(tmp_path):
         assert kind in res["partial_LL"]
         assert np.isfinite(np.asarray(
             res["partial_error_mean"][kind]["error_observed"])).all()
+
+
+def test_epoch_scan_matches_per_step():
+    """make_train_epoch (lax.scan over on-device gathered batches) must
+    produce the same state and per-batch metrics as sequential
+    make_train_step calls on the same batch order."""
+    from hlax.data.dataset import stage_dataset, gather_batch
+
+    ds = _dataset(varying=True)
+    spec0, spec1 = build_kernel_specs(
+        cat_kernel=[ID_COV], bin_kernel=[], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": ID_COV}],
+        bin_int_kernel=[], covariate_missing_val=[], id_covariate=ID_COV)
+    cfg = tstep.TrainConfig(latent_dim=L, M=M, P_tot=float(ds.P),
+                            N_tot=float(len(ds)), id_covariate=ID_COV,
+                            natural_gradient=True, constrain_scales=True,
+                            gp_dtype=jnp.float64)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=L, h_dims=(16,), y_dim=3,
+                       conv=False, dtype=jnp.float64)
+    model = HLVAE(mcfg)
+    batches = list(subject_batches(ds, 3))
+    state = tstep.init_train_state(model, spec0, spec1, batches[0], cfg, seed=0)
+
+    staged = stage_dataset(ds, jnp.float64)
+    spb = 3
+    idx_mat = np.arange(ds.P)
+    pad = (-len(idx_mat)) % spb
+    idx_mat = np.concatenate([idx_mat, -np.ones(pad, np.int64)]).reshape(-1, spb)
+
+    step = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
+    s_ref = state
+    ref_losses = []
+    for idx in idx_mat:
+        s_ref, m = step(s_ref, gather_batch(staged, jnp.asarray(idx)))
+        ref_losses.append(float(m["loss"]))
+
+    epoch = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+    s_scan, ms = epoch(state, staged, jnp.asarray(idx_mat))
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), ref_losses,
+                               rtol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref._replace(opt_state=None)),
+                    jax.tree_util.tree_leaves(s_scan._replace(opt_state=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
