@@ -39,6 +39,7 @@ TRAIN_EPOCHS = 300       # extra epochs before the eval measurement
 
 def build():
     import jax
+    jax.config.update("jax_enable_x64", True)   # f64 natural-gradient chain
     import jax.numpy as jnp
 
     from hlax.data.reader import encode_raw
@@ -129,8 +130,12 @@ def main():
     }), flush=True)
 
     # train to convergence so the eval metric is quoted at a real ELBO
-    for _ in range(TRAIN_EPOCHS):
+    # (sync every few epochs: hundreds of queued async dispatches can wedge
+    # a remote-device relay)
+    for i in range(TRAIN_EPOCHS):
         state, metrics = epoch_fn(state, staged, idx_mat())
+        if i % 10 == 9:
+            jax.block_until_ready(metrics["loss"])
     jax.block_until_ready(metrics["loss"])
     final_loss = float(np.asarray(metrics["loss"])[-1])
 

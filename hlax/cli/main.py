@@ -41,6 +41,12 @@ def run(opt: dict) -> dict:
         jax.config.update("jax_platforms", opt["device"])
     import jax.numpy as jnp
 
+    # x64 stays enabled even for float32 configs: the natural-gradient
+    # chain runs in float64 (TrainConfig.nat_grad_f64) — pure f32 there is
+    # numerically expansive at scale (see hlax/gp/elbo.py).  All hot-path
+    # arrays are explicitly dtyped, so this does not change the f32 compute.
+    jax.config.update("jax_enable_x64", True)
+
     from hlax.data.dataset import (load_dataset, subject_batches,
                                    stage_dataset, gather_batch,
                                    epoch_subject_batches)

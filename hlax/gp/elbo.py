@@ -132,6 +132,7 @@ def kld_upper_bound(
     eps: float,
     natural_gradient: bool = False,
     use_pallas_chol: bool = False,
+    nat_grad_dtype=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Unbiased mini-batched KLD upper bound (elbo_functions.py:118-285).
 
@@ -139,6 +140,14 @@ def kld_upper_bound(
     closed-form natural-gradient quantities of elbo_functions.py:184-192 and
     iH the Cholesky inverse of H for reuse by natural_gradient_update (all
     None unless ``natural_gradient``).
+
+    ``nat_grad_dtype``: compute dtype for the closed-form natural-gradient
+    chain (iK0zz/B_mat compositions + iH).  The chain composes matrices with
+    eigenvalues up to 1/eps; in float32 the composition error makes the
+    (m, H) fixed-point recursion *expansive* — at canonical Health-MNIST
+    scale |m| doubles per epoch from ~ep105 and the run NaNs, while float64
+    is stable (measured 2026-08-16).  Pass jnp.float64 (with x64 enabled) to
+    run just this chain — [L,M,M]-sized, off the MXU hot path — in double.
     """
     Ldim = z.shape[0]
     M = z.shape[1]
@@ -186,14 +195,23 @@ def kld_upper_bound(
 
     grad_m = grad_H = iH_out = None
     if natural_gradient:
+        cdt = nat_grad_dtype or x_st.dtype
+        iK = blk.iK0zz.astype(cdt)
+        Kz = KziBK.astype(cdt)
+        m_c = m.astype(cdt)
         iB_mu = jnp.einsum("lstu,sul->lst", blk.iB, mu_m)
-        ng_P1 = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_mu)[:, :, None]
-        B_mat = (jnp.einsum("lmn,lno,lop->lmp", blk.iK0zz, KziBK, blk.iK0zz)
-                 + blk.iK0zz)
-        grad_m = -jnp.einsum("lmn,lno->lmo", blk.iK0zz, ng_P1) \
-            + jnp.einsum("lmn,lno->lmo", B_mat, m)
-        grad_H = 0.5 * (-iH + B_mat)
-        iH_out = iH   # reusable by natural_gradient_update (saves a Cholesky)
+        ng_P1 = jnp.einsum("lstm,lst->lm", blk.K0xz,
+                           iB_mu)[:, :, None].astype(cdt)
+        B_mat = jnp.einsum("lmn,lno,lop->lmp", iK, Kz, iK) + iK
+        if cdt != H.dtype:
+            LH_c = jnp.linalg.cholesky(H.astype(cdt))
+            iH_c = _chol_inverse(LH_c)
+        else:
+            iH_c = iH
+        grad_m = -jnp.einsum("lmn,lno->lmo", iK, ng_P1) \
+            + jnp.einsum("lmn,lno->lmo", B_mat, m_c)
+        grad_H = 0.5 * (-iH_c + B_mat)
+        iH_out = iH_c   # reusable by natural_gradient_update (saves a Cholesky)
 
     return kld_total, grad_m, grad_H, iH_out
 
@@ -299,16 +317,20 @@ def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137).
 
     Pass the ``iH`` returned by kld_upper_bound to skip recomputing the
-    Cholesky inverse of H."""
-    eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype), H.shape)
+    Cholesky inverse of H.  The arithmetic runs in the gradients' dtype
+    (float64 when kld_upper_bound was given nat_grad_dtype=float64) and the
+    result is cast back to the state dtype of (m, H)."""
+    cdt = grad_H.dtype
+    m_c, H_c = m.astype(cdt), H.astype(cdt)
+    eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=cdt), H.shape)
     if iH is None:
-        LH = jnp.linalg.cholesky(H)
+        LH = jnp.linalg.cholesky(H_c)
         iH = jax.scipy.linalg.cho_solve((LH, True), eye)
     iH_new = iH + lr * (grad_H + jnp.swapaxes(grad_H, -1, -2))
     LiH = jnp.linalg.cholesky(iH_new)
     H_new = jax.scipy.linalg.cho_solve((LiH, True), eye)
     m_new = jnp.einsum(
         "lmn,lno->lmo", H_new,
-        jnp.einsum("lmn,lno->lmo", iH, m)
-        - lr * (grad_m - 2.0 * jnp.einsum("lmn,lno->lmo", grad_H, m)))
-    return m_new, H_new
+        jnp.einsum("lmn,lno->lmo", iH, m_c)
+        - lr * (grad_m - 2.0 * jnp.einsum("lmn,lno->lmo", grad_H, m_c)))
+    return m_new.astype(m.dtype), H_new.astype(H.dtype)

@@ -49,6 +49,13 @@ class TrainConfig:
     # transposes + extra launches; A/B in NOTES.md) — off by default, kept as
     # a config switch so the decision stays re-measurable.
     use_pallas_chol: bool = False
+    # float64 for the closed-form natural-gradient chain (the [L,M,M]
+    # iK/B_mat/iH compositions + the (m,H) update).  In pure float32 the
+    # composition error makes the (m,H) recursion expansive at canonical
+    # scale (|m| doubles per epoch from ~ep105, then NaN; f64 chain is
+    # stable — see gp/elbo.py docstring).  Requires x64 enabled; ignored
+    # when gp_dtype is already float64.
+    nat_grad_f64: bool = True
 
     def __post_init__(self):
         if self.eps is None:
@@ -198,12 +205,15 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
         H = p["H"]
         PSD_H = H if cfg.natural_gradient else jnp.einsum("lmn,lon->lmo", H, H)
         noise = gp_kernels.noise_value(p["raw_noise"], cfg.constrain_scales)
+        nat_dt = (jnp.float64 if cfg.nat_grad_f64 and jax.config.jax_enable_x64
+                  else None)
         kld, gm, gH, iH = gp_elbo.kld_upper_bound(
             spec0, p["k0"], spec1, p["k1"], noise, p["m"], PSD_H, p["zt"],
             x_st, valid.astype(gdt), mu_st, log_v_st,
             cfg.P_tot, cfg.N_tot, cfg.eps,
             natural_gradient=cfg.natural_gradient,
-            use_pallas_chol=cfg.use_pallas_chol)
+            use_pallas_chol=cfg.use_pallas_chol,
+            nat_grad_dtype=nat_dt)
 
         P_batch = jnp.sum((valid.sum(axis=1) > 0).astype(nll.dtype))
         nll_scaled = nll * cfg.P_tot / P_batch
