@@ -310,21 +310,29 @@ def run(opt: dict) -> dict:
                     pickle.dump([np.asarray(val_arrs[k]) for k in
                                  ("net", "recon", "gp", "vae_error",
                                   "gp_error")], f)
-            res = tst.hlvae_test(model, state.vae, dataset, test=False,
-                                 id_covariate=id_covariate, prnt=False)
-            with open(os.path.join(results_path,
-                                   "partial_metrics_training_VAE.pickle"),
-                      "wb") as f:
-                pickle.dump(res["partial_LL"], f)
-            if generation_dataset is not None and prediction_dataset is not None \
-                    and epoch != epochs:
-                pred_mu, _ = val.encode_dataset(model, state.vae,
-                                                prediction_dataset)
-                im.recon_complete_gen(
-                    model, state.vae, spec0, state.k0, spec1, state.k1,
-                    noise_fn(state), state.zt, generation_dataset,
-                    prediction_dataset.labels, pred_mu, id_covariate,
-                    results_path, epoch=epoch)
+            # like the reference's try/except-guarded plotting/eval detours
+            # (training.py:195-245): a failing save-interval extra must not
+            # kill the training run
+            try:
+                res = tst.hlvae_test(model, state.vae, dataset, test=False,
+                                     id_covariate=id_covariate, prnt=False)
+                with open(os.path.join(results_path,
+                                       "partial_metrics_training_VAE.pickle"),
+                          "wb") as f:
+                    pickle.dump(res["partial_LL"], f)
+                if generation_dataset is not None \
+                        and prediction_dataset is not None \
+                        and epoch != epochs:
+                    pred_mu, _ = val.encode_dataset(model, state.vae,
+                                                    prediction_dataset)
+                    im.recon_complete_gen(
+                        model, state.vae, spec0, state.k0, spec1, state.k1,
+                        noise_fn(state), state.zt, generation_dataset,
+                        prediction_dataset.labels, pred_mu, id_covariate,
+                        results_path, epoch=epoch)
+            except Exception as exc:
+                print(f"Save-interval eval/image-gen failed (continuing): "
+                      f"{exc}")
 
         if run_val and epoch > 100 and validation_curve:
             if validation_curve[-1] < best_value:

@@ -85,12 +85,19 @@ def _kernel(a_ref, l_ref, il_ref, t: int):
         il_ref[:] = il_ref[:] - f[None, :] * vj[:, None]
 
 
+def _block_index_map(i):
+    # derive the zero block coordinates from the (int32) grid index: literal
+    # 0s trace as int64 under x64 and Mosaic rejects the mixed-width return
+    z = i * 0
+    return (z, z, i, z)
+
+
 def _chol_inv_tpu(a_t: jnp.ndarray, t: int,
                   tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """a_t [T, T, Bs, 128] (Bs divisible by tile) -> (L, iL) same layout."""
     bs = a_t.shape[-2]
     grid = (bs // tile,)
-    spec = pl.BlockSpec((t, t, tile, 128), lambda i: (0, 0, i, 0),
+    spec = pl.BlockSpec((t, t, tile, 128), _block_index_map,
                         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)
     return pl.pallas_call(
@@ -211,7 +218,7 @@ def _bwd_kernel(l_ref, il_ref, lb_ref, ilb_ref, out_ref, t: int):
 
 def _chol_bwd_tpu(l_t, il_t, lb_t, ilb_t, t: int, tile: int):
     bs = l_t.shape[-2]
-    spec = pl.BlockSpec((t, t, tile, 128), lambda i: (0, 0, i, 0),
+    spec = pl.BlockSpec((t, t, tile, 128), _block_index_map,
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, t=t),
