@@ -306,3 +306,46 @@ def test_float32_bound_matches_float64_reference_dtype():
                                      P_tot=10.0, N_tot=30.0, eps=1e-4)
     rel = abs(float(v32) - float(v64)) / abs(float(v64))
     assert rel < 5e-3, rel
+
+
+def test_nat_grad_f64_chain_matches_f64_reference():
+    """The mixed-precision path (f32 bound inputs + nat_grad_dtype=float64)
+    must reproduce the all-float64 natural-gradient quantities much more
+    closely than the all-float32 path does — this is the stability fix for
+    the canonical-scale f32 divergence (see gp/elbo.py docstring)."""
+    inp = _bound_inputs()
+    as64 = [jnp.asarray(v, jnp.float64) if isinstance(v, np.ndarray) else v
+            for v in inp]
+    as32 = [jnp.asarray(v, jnp.float32) if isinstance(v, np.ndarray) else v
+            for v in inp]
+    kw = dict(P_tot=float(S), N_tot=float(S * T), natural_gradient=True)
+
+    _, gm64, gH64, iH64 = E.kld_upper_bound(*as64, eps=EPS, **kw)
+    _, gm_mix, gH_mix, iH_mix = E.kld_upper_bound(
+        *as32, eps=EPS, nat_grad_dtype=jnp.float64, **kw)
+    _, gm32, gH32, _ = E.kld_upper_bound(*as32, eps=EPS, **kw)
+
+    assert gm_mix.dtype == jnp.float64 and gH_mix.dtype == jnp.float64
+
+    def relerr(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / np.abs(b).max()
+
+    # mixed chain tracks f64 at least as well as pure f32 everywhere, and
+    # the H-side (where the instability lives) markedly better
+    assert relerr(gH_mix, gH64) < relerr(gH32, gH64)
+    assert relerr(iH_mix, iH64) < 1e-5
+    assert relerr(gm_mix, gm64) <= relerr(gm32, gm64) * 1.5
+
+    # the (m, H) update in the mixed path stays PSD and matches f64
+    m64, H64 = E.natural_gradient_update(as64[5], as64[6], gm64, gH64,
+                                         0.01, iH=iH64)
+    m32 = as32[5]
+    H32 = as32[6]
+    m_mix, H_mix = E.natural_gradient_update(m32, H32, gm_mix, gH_mix,
+                                             0.01, iH=iH_mix)
+    assert m_mix.dtype == m32.dtype and H_mix.dtype == H32.dtype
+    np.testing.assert_allclose(np.asarray(H_mix, np.float64),
+                               np.asarray(H64), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_mix, np.float64),
+                               np.asarray(m64), rtol=1e-3, atol=1e-5)
