@@ -82,13 +82,30 @@ def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
     }
 
 
+def _eval_gp_dtype(zt):
+    """Eval-side GP bounds run in float64 when available: the W/K0zz
+    Cholesky factorizations go NaN in float32 once the kernels are trained
+    (measured on the canonical checkpoint: f32 DUBO = nan, f64 = 3.2e4),
+    and the reference evaluates everything in double anyway.  The training
+    path has its own mixed-precision treatment (TrainConfig.nat_grad_f64)."""
+    import jax
+    return jnp.float64 if jax.config.jax_enable_x64 else zt.dtype
+
+
+def _cast_gp(params, dt):
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dt), params)
+
+
 def gp_loss_sampled(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
                     mu, log_var, num_samples: int = 1, eps=None, seed=0):
     """type_KL='GPapprox' validation GP loss: negative sample-based sparse-GP
     marginal-likelihood bound averaged over Monte Carlo samples
     (validation.py:140-148)."""
     lengths = ds.subject_end - ds.subject_start
-    gdt = zt.dtype
+    gdt = _eval_gp_dtype(zt)
+    k0, k1 = _cast_gp(k0, gdt), _cast_gp(k1, gdt)
+    noise, zt = jnp.asarray(noise, gdt), jnp.asarray(zt, gdt)
+    mu, log_var = np.asarray(mu, np.float64), np.asarray(log_var, np.float64)
     if eps is None:
         eps = gp_kernels.default_eps(gdt)
     key = jax.random.PRNGKey(seed)
@@ -118,7 +135,9 @@ def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
     """Sum of per-equal-T-group DUBOs (validation.py:160-174)."""
     lengths = ds.subject_end - ds.subject_start
     total = 0.0
-    gdt = zt.dtype
+    gdt = _eval_gp_dtype(zt)
+    k0, k1 = _cast_gp(k0, gdt), _cast_gp(k1, gdt)
+    noise, zt = jnp.asarray(noise, gdt), jnp.asarray(zt, gdt)
     if eps is None:
         eps = gp_kernels.default_eps(gdt)
     for T in np.unique(lengths):
@@ -147,7 +166,9 @@ def gp_predict_dataset(spec0, k0, spec1, k1, noise, zt,
 
     Host-side packing of the per-subject padded structures + one device call
     (replaces the subject loops of utils.py:137-188)."""
-    gdt = zt.dtype
+    gdt = _eval_gp_dtype(zt)
+    k0, k1 = _cast_gp(k0, gdt), _cast_gp(k1, gdt)
+    noise, zt = jnp.asarray(noise, gdt), jnp.asarray(zt, gdt)
     if eps is None:
         eps = gp_kernels.default_eps(gdt)
     L = zt.shape[0]
@@ -194,9 +215,10 @@ def validate(model, vae_params, spec0, k0, spec1, k1, noise, zt,
              context_frames: Optional[int] = None,
              type_KL: str = "GPapprox_closed", num_samples: int = 1,
              eps: Optional[float] = None) -> pd.DataFrame:
-    """Full validation pass -> 10-row results frame (validation.py:246-259)."""
-    if eps is None:
-        eps = gp_kernels.default_eps(zt.dtype)
+    """Full validation pass -> 10-row results frame (validation.py:246-259).
+
+    ``eps=None`` lets each GP helper pick the jitter for its own compute
+    dtype (the eval bounds upcast to float64, see _eval_gp_dtype)."""
     fm = forward_metrics(model, vae_params, val_ds)
     nll_loss_sum = fm["nll"]
     recon_loss_sum = float(fm["recon_loss"])
