@@ -161,7 +161,11 @@ def run(opt: dict) -> dict:
     print(f"Total Parameter Number is: {n_params}")
 
     # warm start (HLVAE_main.py:163-167, 252-269)
-    restored = ckpt.restore(opt.get("gp_model_folder") or save_path, state,
+    # gp_model_folder is save_path-relative, concatenated like the reference
+    # (HLVAE_main.py:46: gp_model_folder = save_path + gp_model_folder); the
+    # canonical config's '/' therefore means "save_path itself"
+    warm_base = save_path + (opt.get("gp_model_folder") or "/")
+    restored = ckpt.restore(warm_base, state,
                             name=ckpt.EARLY_BEST_NAME
                             if opt.get("early_stopping") else ckpt.FINAL_NAME)
     if restored is not None:

@@ -72,7 +72,9 @@ def batch_predict(
 
     iB_mu = jnp.einsum("lstu,lsu->lst", blk.iB, mu_m)                 # [L,Sp,Tp]
     t = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_mu)[:, :, None]       # [L,M,1]
-    s = jnp.linalg.solve(Hmat, t)                                     # [L,M,1]
+    # Hmat is SPD (K0zz + Nystrom term): Cholesky solve — TPU has no f64 LU
+    LHm = jnp.linalg.cholesky(0.5 * (Hmat + jnp.swapaxes(Hmat, -1, -2)))
+    s = jax.scipy.linalg.cho_solve((LHm, True), t)                    # [L,M,1]
     K0xz_iH = jnp.einsum("lstm,lmo->lst", blk.K0xz, s)                # [L,Sp,Tp]
     u = jnp.einsum("lstu,lsu->lst", blk.iB, K0xz_iH)
     mu_tilde = (iB_mu - u).reshape(iB_mu.shape[0], Np)                # [L,Np]
@@ -81,7 +83,7 @@ def batch_predict(
     K0Xz = kernel_matrix(spec0, params0, test_x, z, x2_batched=True)  # [L,Nt,M]
     K0zx_mt = jnp.einsum("lstm,lst->lm",
                          blk.K0xz, mu_tilde.reshape(-1, Sp, Tp))[:, :, None]
-    w = jnp.linalg.solve(blk.K0zz, K0zx_mt)                           # [L,M,1]
+    w = jax.scipy.linalg.cho_solve((blk.LK0zz, True), K0zx_mt)        # [L,M,1]
     term0 = jnp.einsum("lnm,lmo->ln", K0Xz, w)                        # [L,Nt]
 
     # subject-coupling term: per-test-row block against its subject's pred rows
