@@ -34,7 +34,10 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 P_SUBJ, T, LATENT, M, S_BATCH = 200, 20, 32, 120, 20
 EPOCHS_MEASURED = 30     # 10 steps/epoch at canonical scale -> 300 steps
-TRAIN_EPOCHS = 300       # extra epochs before the eval measurement
+# extra epochs before the eval measurement: enough to converge the bench
+# workload (loss plateaus ~ep100); kept modest so the driver's bench stays
+# fast even when the tunnel relay is degraded (NOTES.md)
+TRAIN_EPOCHS = 100
 
 
 def build():
