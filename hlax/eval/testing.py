@@ -40,10 +40,18 @@ def _unseen_rows(ds: LongitudinalDataset, conv: bool,
     label column as a globally unique row index and keep test rows whose
     index does not appear in the training set's last label column."""
     if conv or training_indexes is None:
-        return _unseen_frame_rows(ds, first_frames)
-    seen = np.unique(np.asarray(training_indexes).astype(np.int64))
-    last = ds.labels[:, -1].astype(np.int64)
-    return np.nonzero(~np.isin(last, seen))[0]
+        rows = _unseen_frame_rows(ds, first_frames)
+    else:
+        seen = np.unique(np.asarray(training_indexes).astype(np.int64))
+        last = ds.labels[:, -1].astype(np.int64)
+        rows = np.nonzero(~np.isin(last, seen))[0]
+    if rows.size == 0:
+        # every test row was seen in training (e.g. test set == train set);
+        # the reference silently emits NaN metrics here (empty torch.mean) —
+        # fall back to all rows with a notice instead
+        print("No unseen test rows — evaluating on all rows")
+        rows = np.arange(len(ds))
+    return rows
 
 
 def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,

@@ -154,3 +154,49 @@ def test_cli_data_parallel_smoke(data_dir, tmp_path):
     ]))
     out = main_cli.main([f"--f={cfg_file}"])
     assert np.isfinite(out["loss_arrs"]["net"]).all()
+
+
+def test_cli_early_stopping_checkpoint_and_rerun(data_dir, tmp_path):
+    """Early-stopping flow (training.py:246-264 + HLVAE_main.py:52-76):
+    past epoch 100 the best-validation state is checkpointed as early_best,
+    and an --early_stopping --epochs=0 rerun restores it and writes
+    result_error_early_stopping.csv."""
+    save = tmp_path / "es_run"
+    cfg_file = tmp_path / "es_cfg.txt"
+    cfg_file.write_text("\n".join([
+        f"--data_source_path={data_dir}",
+        f"--save_path={save}",
+        "--csv_types_file=data_types_D4.csv",
+        "--csv_file_data=prediction_data_D4.csv",
+        "--csv_file_label=prediction_label.csv",
+        "--mask_file=prediction_mask.csv",
+        "--csv_file_validation_data=validation_data_D4.csv",
+        "--csv_file_validation_label=validation_label.csv",
+        "--validation_mask_file=validation_mask.csv",
+        "--csv_file_test_data=test_data_D4.csv",
+        "--csv_file_test_label=test_label.csv",
+        "--test_mask_file=test_mask.csv",
+        "--csv_file_prediction_data=prediction_data_D4.csv",
+        "--csv_file_prediction_label=prediction_label.csv",
+        "--prediction_mask_file=prediction_mask.csv",
+        "--latent_dim=2", "--id_covariate=2", "--M=4", "--P=4", "--T=20",
+        "--epochs=106", "--save_interval=200", "--num_dim=1296",
+        "--type_KL=GPapprox_closed", "--subjects_per_batch=4",
+        "--natural_gradient=True", "--constrain_scales=True",
+        "--run_validation=True", "--run_tests=False",
+        "--gp_model_folder=/",
+        "--cat_kernel=[2]", "--bin_kernel=[]", "--sqexp_kernel=[0]",
+        "--cat_int_kernel=[]", "--bin_int_kernel=[]",
+        "--covariate_missing_val=[]",
+        "--hidden_layers=[8]", "--conv_hivae=False", "--y_dim=2",
+        "--gp_dtype=float64", "--model_dtype=float64",
+    ]))
+    out = main_cli.main([f"--f={cfg_file}"])
+    assert np.isfinite(out["loss_arrs"]["net"]).all()
+    assert os.path.isdir(os.path.join(str(save), "early_best"))
+
+    # eval-only rerun from the early-best checkpoint
+    out2 = main_cli.main([f"--f={cfg_file}", "--early_stopping=True",
+                          "--epochs=0", "--run_tests=True"])
+    assert os.path.exists(os.path.join(
+        str(save), "results", "result_error_early_stopping.csv"))
