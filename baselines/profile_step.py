@@ -1,17 +1,25 @@
-"""Component timing of the canonical train step on the real chip."""
-import time
+"""Component timing of the canonical training epoch/step on the real chip.
+
+Times (a) the scanned whole-epoch program bench.py measures, (b) one train
+step alone, and (c) its components: VAE forward / forward+backward, KLD
+bound forward (with natural-gradient quantities) / forward+backward, and
+the (m, H) natural-gradient update.
+"""
+import sys, os, time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
+from hlax.data.dataset import (subject_batches, gather_batch,
+                               epoch_subject_batches)
 from hlax.gp import elbo as gp_elbo
-from hlax.gp import kernels as gp_kernels
+from hlax.gp.kernels import build_kernel_specs, noise_value
 from hlax.models.hlvae import nll_from_log_p
+from hlax.train import step as tstep
 
 
 def timeit(fn, *args, n=30):
@@ -25,120 +33,78 @@ def timeit(fn, *args, n=30):
 
 
 def main():
-    step, state, dev_batches = bench.build()
-    b = dev_batches[0]
+    epoch_fn, state, staged, model, het, ds = bench.build()
+    nb = (bench.P_SUBJ + bench.S_BATCH - 1) // bench.S_BATCH
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(np.stack(list(
+        epoch_subject_batches(ds.P, bench.S_BATCH, rng))))
 
-    # full step donates state; time a chained loop like bench does
-    state, m = step(state, b)
+    # whole-epoch program (state donated -> chain it)
+    st, m = epoch_fn(state, staged, idx)
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(30):
-        state, m = step(state, b)
+    for _ in range(20):
+        st, m = epoch_fn(st, staged, idx)
     jax.block_until_ready(m["loss"])
-    t_full = (time.perf_counter() - t0) / 30
-    print(f"full step: {t_full*1e6:.0f} us")
+    t_ep = (time.perf_counter() - t0) / 20
+    print(f"epoch ({nb} steps): {t_ep*1e6:.0f} us  "
+          f"({nb/t_ep:.0f} steps/sec)")
 
-    # rebuild pieces
-    import bench as bb
-    from hlax.train import step as tstep
-    from hlax.models import HLVAE
-    # recreate model/specs identically
-    step2, state2, _ = bb.build()
-
-    model_cfg_probe = {}
-
-    # VAE fwd+bwd only
-    from hlax.data.reader import encode_raw  # noqa
-    # hack: grab model via closure is not possible; rebuild here
-    # use build() internals by re-running with pieces exposed
-    # simpler: time sub-jits via new functions
-    from hlax.gp.kernels import build_kernel_specs, noise_value
     spec0, spec1 = build_kernel_specs(
         cat_kernel=[2], bin_kernel=[], sqexp_kernel=[0],
         cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2},
                         {"cont_covariate": 0, "cat_covariate": 3},
                         {"cont_covariate": 1, "cat_covariate": 4}],
         bin_int_kernel=[], covariate_missing_val=[], id_covariate=2)
+    cfg = tstep.TrainConfig(latent_dim=bench.LATENT, M=bench.M,
+                            P_tot=float(bench.P_SUBJ),
+                            N_tot=float(bench.P_SUBJ * bench.T),
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float32)
+    state = tstep.init_train_state(
+        model, spec0, spec1, next(subject_batches(ds, bench.S_BATCH)), cfg,
+        seed=0)
+    b = jax.jit(gather_batch)(staged, jnp.arange(bench.S_BATCH))
 
-    from hlax.models import HLVAEConfig
-    # model identical to bench's
-    import hlax.train.step as ts
+    step = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
+    s2, m2 = step(state, b)
+    jax.block_until_ready(m2["loss"])
+    t0 = time.perf_counter()
+    for _ in range(30):
+        s2, m2 = step(s2, b)
+    jax.block_until_ready(m2["loss"])
+    print(f"single step (dispatched): {(time.perf_counter()-t0)/30*1e6:.0f} us")
 
-    # (a) forward only
-    # reconstruct model from state? we need the model object; rebuild dataset
-    # quickly by calling bench.build internals again is heavy; instead measure
-    # two jitted functions composed from bench state via make_train_step parts.
-
-    # VAE-only loss step
-    # we cheat: read model/spec from a fresh build
-    # => simplest: time a jitted fwd/bwd on the same shapes
-    print("(component timings below rebuilt from bench config)")
-
-    from hlax.data.dataset import LongitudinalDataset, subject_batches
-    # reuse bench's builder for the model by copying its code path
-    # fwd/bwd only:
-    import types as _t
-
-    # Use private rebuild
-    rngs = jax.random.PRNGKey(0)
-
-    # Pull the model through bench.build's closure is impossible; instead
-    # construct again:
-    from bench import P_SUBJ, T, LATENT, M, S_BATCH
-    from hlax.data.reader import encode_raw
-    rng = np.random.default_rng(0)
-    n = P_SUBJ * T
-    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
-             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
-    raw = np.column_stack([rng.random((n, 324)) * 255,
-                           rng.integers(0, 5, (n, 972)).astype(float)])
-    miss = (rng.random((n, 1296)) > 0.25).astype(float)
-    het = encode_raw(raw, types, miss_mask=miss)
-    labels = np.zeros((n, 6))
-    labels[:, 0] = np.tile(np.arange(T), P_SUBJ)
-    labels[:, 2] = np.repeat(np.arange(P_SUBJ), T)
-    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
-    mcfg = HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,), y_dim=5,
-                       conv=True, dtype=jnp.float32)
-    model = HLVAE(mcfg)
     vae = state.vae
+    key = jax.random.PRNGKey(0)
 
     @jax.jit
     def vae_fwd(vae, b, key):
         out = model.apply(vae, b["data"], b["mask"], b["theta_mask"], key)
         return jnp.sum(nll_from_log_p(out["log_p_x"]))
 
-    @jax.jit
-    def vae_fwd_bwd(vae, b, key):
-        return jax.grad(lambda v: vae_fwd(v, b, key))(vae)
+    vae_bwd = jax.jit(jax.grad(vae_fwd))
+    print(f"vae forward: {timeit(vae_fwd, vae, b, key)*1e6:.0f} us")
+    print(f"vae fwd+bwd: {timeit(vae_bwd, vae, b, key)*1e6:.0f} us")
 
-    key = jax.random.PRNGKey(0)
-    t_f = timeit(vae_fwd, vae, b, key)
-    print(f"vae forward: {t_f*1e6:.0f} us")
-    t_fb = timeit(lambda: vae_fwd_bwd(vae, b, key))
-    print(f"vae fwd+bwd: {t_fb*1e6:.0f} us")
-
-    cfg = ts.TrainConfig(latent_dim=LATENT, M=M, P_tot=float(P_SUBJ),
-                         N_tot=float(n), id_covariate=2,
-                         natural_gradient=True, constrain_scales=True,
-                         gp_dtype=jnp.float32)
     valid = b["valid"]
     S, Tt = valid.shape
     x_st = b["labels"].reshape(S, Tt, -1)
-    mu_st = jnp.zeros((S, Tt, LATENT), jnp.float32)
-    lv_st = jnp.zeros((S, Tt, LATENT), jnp.float32)
+    mu_st = jnp.zeros((S, Tt, bench.LATENT), jnp.float32)
+    lv_st = jnp.zeros((S, Tt, bench.LATENT), jnp.float32)
+    nat_dt = jnp.float64 if jax.config.jax_enable_x64 else None
 
     @jax.jit
     def kld_only(st, x_st, valid, mu_st, lv_st):
         noise = noise_value(st.raw_noise, True)
         kld, gm, gH, _ = gp_elbo.kld_upper_bound(
             spec0, st.k0, spec1, st.k1, noise, st.m, st.H, st.zt,
-            x_st, valid, mu_st, lv_st, cfg.P_tot, cfg.N_tot, 1e-6,
-            natural_gradient=True)
+            x_st, valid, mu_st, lv_st, cfg.P_tot, cfg.N_tot, cfg.eps,
+            natural_gradient=True, nat_grad_dtype=nat_dt)
         return kld
 
-    t_k = timeit(kld_only, state, x_st, valid, mu_st, lv_st)
-    print(f"kld fwd (w/ nat grads): {t_k*1e6:.0f} us")
+    print(f"kld fwd (w/ f64 nat grads): "
+          f"{timeit(kld_only, state, x_st, valid, mu_st, lv_st)*1e6:.0f} us")
 
     @jax.jit
     def kld_bwd(st, x_st, valid, mu_st, lv_st):
@@ -146,20 +112,21 @@ def main():
             noise = noise_value(st.raw_noise, True)
             kld, _, _, _ = gp_elbo.kld_upper_bound(
                 spec0, k0, spec1, k1, noise, st.m, st.H, zt,
-                x_st, valid, mu_st, lv_st, cfg.P_tot, cfg.N_tot, 1e-6)
+                x_st, valid, mu_st, lv_st, cfg.P_tot, cfg.N_tot, cfg.eps)
             return kld
         return jax.grad(f, argnums=(0, 1, 2, 3))(st.k0, st.k1, st.zt, mu_st)
 
-    t_kb = timeit(kld_bwd, state, x_st, valid, mu_st, lv_st)
-    print(f"kld fwd+bwd: {t_kb*1e6:.0f} us")
+    print(f"kld fwd+bwd: "
+          f"{timeit(kld_bwd, state, x_st, valid, mu_st, lv_st)*1e6:.0f} us")
 
     @jax.jit
     def natgrad(st):
-        return gp_elbo.natural_gradient_update(
-            st.m, st.H, jnp.zeros_like(st.m), jnp.zeros_like(st.H), 0.01)
+        gH = jnp.zeros(st.H.shape,
+                       jnp.float64 if nat_dt is not None else st.H.dtype)
+        gm = jnp.zeros(st.m.shape, gH.dtype)
+        return gp_elbo.natural_gradient_update(st.m, st.H, gm, gH, 0.01)
 
-    t_n = timeit(natgrad, state)
-    print(f"nat-grad update: {t_n*1e6:.0f} us")
+    print(f"nat-grad update: {timeit(natgrad, state)*1e6:.0f} us")
 
 
 if __name__ == "__main__":
