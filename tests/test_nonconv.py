@@ -77,9 +77,11 @@ def test_unseen_rows_label_set_difference():
     rows = _unseen_rows(ds, conv=False, training_indexes=training_indexes)
     # uids 25..29 are seen, 30..44 are unseen
     assert list(ds.labels[rows, -1].astype(int)) == list(range(30, 45))
-    # conv=True falls back to the frames-5..T-1 rule regardless
+    # conv=True uses the frames-5..T-1 rule regardless; with T=5 there are
+    # no frames past index 4, and the empty set falls back to ALL rows
+    # (instead of the reference's silent NaN metrics on empty reductions)
     rows_conv = _unseen_rows(ds, conv=True, training_indexes=training_indexes)
-    assert len(rows_conv) == 0   # T=5 -> no frames past index 4
+    assert len(rows_conv) == len(ds)
 
 
 def test_nonconv_cli_full_battery(nonconv_dir, tmp_path):
