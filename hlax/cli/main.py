@@ -163,8 +163,11 @@ def run(opt: dict) -> dict:
     # warm start (HLVAE_main.py:163-167, 252-269)
     # gp_model_folder is save_path-relative, concatenated like the reference
     # (HLVAE_main.py:46: gp_model_folder = save_path + gp_model_folder); the
-    # canonical config's '/' therefore means "save_path itself"
-    warm_base = save_path + (opt.get("gp_model_folder") or "/")
+    # canonical config's '/' therefore means "save_path itself".  An absolute
+    # path is honored as-is (string concatenation would silently mangle it).
+    gp_folder = opt.get("gp_model_folder") or "/"
+    warm_base = gp_folder if gp_folder != "/" and os.path.isabs(gp_folder) \
+        else save_path + gp_folder
     restored = ckpt.restore(warm_base, state,
                             name=ckpt.EARLY_BEST_NAME
                             if opt.get("early_stopping") else ckpt.FINAL_NAME)

@@ -34,11 +34,16 @@ def _unseen_frame_rows(ds: LongitudinalDataset, first_frames: int = 5
 
 
 def _unseen_rows(ds: LongitudinalDataset, conv: bool,
-                 training_indexes=None, first_frames: int = 5) -> np.ndarray:
+                 training_indexes=None, first_frames: int = 5):
     """Unseen-row selection (model_test.py:67-72, 157-161): conv datasets use
     frames first_frames..T-1 per subject; non-conv datasets treat the LAST
     label column as a globally unique row index and keep test rows whose
-    index does not appear in the training set's last label column."""
+    index does not appear in the training set's last label column.
+
+    Returns ``(rows, all_rows_fallback)``; the flag marks the every-row-seen
+    edge case where the metric semantics silently change from unseen-row
+    extrapolation to seen-row reconstruction — callers record it in their
+    outputs so downstream comparisons are not apples-to-oranges."""
     if conv or training_indexes is None:
         rows = _unseen_frame_rows(ds, first_frames)
     else:
@@ -50,8 +55,8 @@ def _unseen_rows(ds: LongitudinalDataset, conv: bool,
         # the reference silently emits NaN metrics here (empty torch.mean) —
         # fall back to all rows with a notice instead
         print("No unseen test rows — evaluating on all rows")
-        rows = np.arange(len(ds))
-    return rows
+        return np.arange(len(ds)), True
+    return rows, False
 
 
 def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
@@ -99,8 +104,8 @@ def hlvae_test(model, vae_params, ds: LongitudinalDataset,
     tmask = jnp.asarray(het.theta_mask, dt)
     out = forward_fn(model)(vae_params, data, mask, tmask,
                             jax.random.PRNGKey(0), False)
-    rows = (_unseen_rows(ds, model.cfg.conv, training_indexes) if test
-            else np.arange(len(ds)))
+    rows, fallback = (_unseen_rows(ds, model.cfg.conv, training_indexes)
+                      if test else (np.arange(len(ds)), False))
     res = _metric_battery(model, ds, data, mask, out["log_p_x"],
                           out["log_p_x_missing"], out["params"], rows)
     m_np = np.asarray(mask)[rows]
@@ -118,6 +123,7 @@ def hlvae_test(model, vae_params, ds: LongitudinalDataset,
                   f"{np.mean(res['partial_error_mean'][key]['error_missing'])}")
     res["observed_density"] = float(obs_density)
     res["missing_density"] = float(mis_density)
+    res["all_rows_fallback"] = fallback
     return res
 
 
@@ -144,9 +150,10 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
     log_p_x, log_p_x_missing, params, _ = decode_fn(model)(
         vae_params, jnp.asarray(z_pred, dt), data, mask, tmask, norm_params)
 
-    rows = _unseen_rows(test_ds, model.cfg.conv, training_indexes)
+    rows, fallback = _unseen_rows(test_ds, model.cfg.conv, training_indexes)
     res = _metric_battery(model, test_ds, data, mask, log_p_x,
                           log_p_x_missing, params, rows)
+    res["all_rows_fallback"] = fallback
     sub = lambda a: a[jnp.asarray(rows)]
     rec_obs, rec_mis, _ = mx.error_computation(
         sub(res["truth"]), sub(res["mean_rec"]), test_ds.layout, sub(mask),
@@ -158,9 +165,13 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
 
     if results_path:
         os.makedirs(results_path, exist_ok=True)
+        # the extra all_rows_fallback row (0/1) makes the seen-rows metric
+        # switch visible to CSV consumers (reference rows stay first)
         pd.DataFrame(
-            [res["mean_GP_recon_loss"], res["miss_recon_loss_GP"]],
-            index=["mean_GP_recon_loss", "miss_recon_loss_GP"]).to_csv(
+            [res["mean_GP_recon_loss"], res["miss_recon_loss_GP"],
+             float(fallback)],
+            index=["mean_GP_recon_loss", "miss_recon_loss_GP",
+                   "all_rows_fallback"]).to_csv(
             os.path.join(results_path, f"result_error_{test_type}.csv"),
             header=False)
         with open(os.path.join(results_path,

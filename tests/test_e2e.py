@@ -45,6 +45,7 @@ def test_generator_output_shapes(data_dir):
     assert 0.70 < frac < 0.80   # 25% missing
 
 
+@pytest.mark.slow
 def test_cli_train_eval_pipeline(data_dir, tmp_path):
     save = tmp_path / "run"
     cfg_file = tmp_path / "cfg.txt"
@@ -130,6 +131,7 @@ def test_cli_train_eval_pipeline(data_dir, tmp_path):
     assert len(pv) == 5 and pv[1].shape == (80, 4)
 
 
+@pytest.mark.slow
 def test_cli_data_parallel_smoke(data_dir, tmp_path):
     """--data_parallel shards the training loop over the virtual CPU mesh."""
     save = tmp_path / "dp_run"
@@ -156,6 +158,7 @@ def test_cli_data_parallel_smoke(data_dir, tmp_path):
     assert np.isfinite(out["loss_arrs"]["net"]).all()
 
 
+@pytest.mark.slow
 def test_cli_early_stopping_checkpoint_and_rerun(data_dir, tmp_path):
     """Early-stopping flow (training.py:246-264 + HLVAE_main.py:52-76):
     past epoch 100 the best-validation state is checkpointed as early_best,

@@ -74,16 +74,22 @@ def test_unseen_rows_label_set_difference():
     ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2,
                              conv=False)
     training_indexes = np.arange(30.0)   # train uids 0..29
-    rows = _unseen_rows(ds, conv=False, training_indexes=training_indexes)
+    rows, fallback = _unseen_rows(ds, conv=False,
+                                  training_indexes=training_indexes)
     # uids 25..29 are seen, 30..44 are unseen
     assert list(ds.labels[rows, -1].astype(int)) == list(range(30, 45))
+    assert not fallback
     # conv=True uses the frames-5..T-1 rule regardless; with T=5 there are
     # no frames past index 4, and the empty set falls back to ALL rows
-    # (instead of the reference's silent NaN metrics on empty reductions)
-    rows_conv = _unseen_rows(ds, conv=True, training_indexes=training_indexes)
+    # (instead of the reference's silent NaN metrics on empty reductions),
+    # with the fallback flagged so CSV consumers can tell
+    rows_conv, fallback = _unseen_rows(ds, conv=True,
+                                       training_indexes=training_indexes)
     assert len(rows_conv) == len(ds)
+    assert fallback
 
 
+@pytest.mark.slow
 def test_nonconv_cli_full_battery(nonconv_dir, tmp_path):
     save = tmp_path / "run"
     cfg = tmp_path / "cfg.txt"
@@ -130,6 +136,7 @@ def test_nonconv_cli_full_battery(nonconv_dir, tmp_path):
     assert np.isfinite(err.loc["mean_GP_recon_loss"].iloc[0])
 
 
+@pytest.mark.slow
 def test_bfloat16_model_smoke(nonconv_dir, tmp_path):
     """--model_dtype=bfloat16 trains end-to-end with finite losses (the GP
     side stays float32; only the VAE compute path runs in bf16)."""
