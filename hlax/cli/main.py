@@ -33,6 +33,21 @@ def _resolve_dtype(name):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def _memory_dbg(enabled: bool, phase: str) -> None:
+    """Phase-wise peak-memory prints (HLVAE_main.py:281-283, 303-305,
+    327-329, 410-412).  The reference resets the CUDA peak counter after
+    each phase; TPU/jax exposes no reset, so the four lines report the
+    CUMULATIVE peak up to each phase boundary (monotone non-decreasing)."""
+    if not enabled:
+        return
+    import jax
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            print(f"Max memory allocated after {phase} on {d}: "
+                  f"{stats.get('peak_bytes_in_use', 0)/(1024**2):.2f} MBs")
+
+
 def run(opt: dict) -> dict:
     import jax
     if opt.get("device"):
@@ -48,8 +63,7 @@ def run(opt: dict) -> dict:
     jax.config.update("jax_enable_x64", True)
 
     from hlax.data.dataset import (load_dataset, subject_batches,
-                                   stage_dataset, gather_batch,
-                                   epoch_subject_batches)
+                                   stage_dataset, epoch_subject_batches)
     from hlax.eval import images as im
     from hlax.eval import testing as tst
     from hlax.eval import validate as val
@@ -177,36 +191,41 @@ def run(opt: dict) -> dict:
     else:
         print("Did not load pre-trained values.")
 
-    # optional SPMD: shard subjects over a data mesh axis, GP state over a
-    # latent axis (hlax/parallel/mesh.py); same step, XLA adds collectives.
+    # optional SPMD: shard subjects over a data mesh axis, GP state (and its
+    # Adam moments) over a latent axis (hlax/parallel/mesh.py).  Training is
+    # ONE XLA dispatch per EPOCH either way — the mesh path stages the
+    # dataset with an explicit leading device axis and gathers each batch
+    # per-shard inside the scan body (no collectives for the data movement).
     mesh_ctx = None
-    n_dp = opt.get("data_parallel") or 0
-    if n_dp > 1:
+    n_dp = max(opt.get("data_parallel") or 0, 1)
+    n_lat = max(opt.get("latent_parallel") or 0, 1)
+    if n_dp * n_lat > 1:
         from hlax.parallel import distributed as pdist
         from hlax.parallel import mesh as pmesh
         pdist.initialize()
-        mesh_ctx = pmesh.make_mesh(n_data=n_dp, n_latent=1)
+        mesh_ctx = pmesh.make_mesh(n_data=n_dp, n_latent=n_lat)
         mesh_ctx.__enter__()
-        print(f"Running data-parallel over {n_dp} devices")
+        print(f"Running on a ({n_dp} data x {n_lat} latent) device mesh")
 
-    staged = stage_dataset(dataset, model_dtype)
     if mesh_ctx is not None:
-        # data-parallel: per-step dispatch with sharded gathered batches
-        # (the gather crosses shards, so it runs outside the step)
+        from hlax.data.dataset import (stage_dataset_mesh,
+                                       epoch_subject_batches_mesh)
         from hlax.parallel import mesh as pmesh
+        staged = pmesh.shard_staged(
+            stage_dataset_mesh(dataset, model_dtype, n_dp), mesh_ctx)
         state = pmesh.shard_state(state, mesh_ctx)
-        bsh = pmesh.batch_sharding(mesh_ctx)
-        step_fn = jax.jit(tstep.make_train_step(model, spec0, spec1, cfg))
-        gather_fn = jax.jit(
-            gather_batch,
-            out_shardings={k: bsh[k] for k in
-                           ("data", "mask", "theta_mask", "labels", "valid")})
-        epoch_fn = None
+        epoch_fn = pmesh.jit_train_epoch(
+            tstep.make_train_epoch_mesh(model, spec0, spec1, cfg),
+            state, mesh_ctx, staged)
+        epoch_idx = lambda rng: epoch_subject_batches_mesh(
+            dataset.P, n_dp, subjects_per_batch, rng)
     else:
-        # single-device: the whole epoch is ONE dispatched XLA program
-        # (lax.scan over on-device gathered batches; ~7x steps/sec through a
-        # remote-device link vs per-step dispatch)
+        # single-device epoch scan over on-device gathered batches (~7x
+        # steps/sec through a remote-device link vs per-step dispatch)
+        staged = stage_dataset(dataset, model_dtype)
         epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+        epoch_idx = lambda rng: np.stack(list(
+            epoch_subject_batches(dataset.P, subjects_per_batch, rng)))
     epochs = opt.get("epochs", 0)
     validation_interval = 5
     save_interval = opt.get("save_interval", 100)
@@ -231,6 +250,7 @@ def run(opt: dict) -> dict:
 
     profile_dir = opt.get("profile_dir") or ""
 
+    _memory_dbg(opt.get("memory_dbg"), "initialisation")
     start = timer()
     for epoch in range(1, epochs + 1):
         t0 = time.time()
@@ -238,18 +258,8 @@ def run(opt: dict) -> dict:
         recon_sum2, miss_recon_sum = 0.0, 0.0
         if profile_dir and epoch == 2:
             jax.profiler.start_trace(profile_dir)
-        idx_mat = np.stack(list(
-            epoch_subject_batches(dataset.P, subjects_per_batch, rng)))
-        if epoch_fn is not None:
-            state, ms = epoch_fn(state, staged, jnp.asarray(idx_mat))
-            ms = {k: np.asarray(v) for k, v in ms.items()}   # [nb] each
-        else:
-            ep_metrics = []
-            for idx in idx_mat:
-                state, metrics = step_fn(state, gather_fn(staged, idx))
-                ep_metrics.append(metrics)
-            ms = {k: np.asarray([float(m[k]) for m in ep_metrics])
-                  for k in ep_metrics[0]}
+        state, ms = epoch_fn(state, staged, jnp.asarray(epoch_idx(rng)))
+        ms = {k: np.asarray(v) for k, v in ms.items()}   # [nb] each
         sums["net"] = float(ms["loss"].mean())
         sums["nll"] = float(ms["nll"].mean())
         sums["kld"] = float(ms["kld"].mean())
@@ -354,12 +364,7 @@ def run(opt: dict) -> dict:
     print(f"Best epoch imputation error is {best_epoch_missing_imp_error}")
     print(f"Imputation error is {miss_recon_loss}")
 
-    if opt.get("memory_dbg"):
-        for d in jax.local_devices():
-            stats = getattr(d, "memory_stats", lambda: None)()
-            if stats:
-                print(f"Peak memory on {d}: "
-                      f"{stats.get('peak_bytes_in_use', 0)/(1024**2):.2f} MBs")
+    _memory_dbg(opt.get("memory_dbg"), "training")
 
     if epochs > 2 and not opt.get("early_stopping"):
         print("Saving")
@@ -382,6 +387,7 @@ def run(opt: dict) -> dict:
         except Exception as exc:
             print(f"plot_values.pkl skipped: {exc}")
         ckpt.save(save_path, state)
+    _memory_dbg(opt.get("memory_dbg"), "saving")
 
     out = {"state": state, "model": model, "loss_arrs": loss_arrs}
 
@@ -420,6 +426,7 @@ def run(opt: dict) -> dict:
                         prediction_dataset.labels, pred_mu, id_covariate,
                         results_path, test_type=test_type,
                         training_indexes=dataset.labels[:, -1])
+    _memory_dbg(opt.get("memory_dbg"), "tests")
     return out
 
 

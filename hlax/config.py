@@ -119,7 +119,12 @@ class ModelArgs:
         add("--model_dtype", type=str, default="float32",
             choices=["float32", "bfloat16", "float64"])
         add("--data_parallel", type=int, default=0,
-            help="shard subjects over this many devices (0 = all local)")
+            help="shard subjects over this many mesh devices (0/1 = no "
+                 "data axis); training stays one XLA dispatch per epoch")
+        add("--latent_parallel", type=int, default=1,
+            help="shard the GP latent axis (kernels, zt, m, H, their Adam "
+                 "moments) over this many mesh devices; total devices = "
+                 "data_parallel x latent_parallel")
         add("--device", type=str, default="",
             choices=["", "cpu", "tpu"],
             help="force the jax platform (reference picks cuda-or-cpu, "

@@ -212,3 +212,86 @@ def epoch_subject_batches(P: int, subjects_per_batch: int,
             chunk = np.concatenate(
                 [chunk, -np.ones(subjects_per_batch - len(chunk), np.int64)])
         yield chunk
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded staging: the staged dataset gains an explicit leading device
+# axis [D, P_local, T, ...] that shards over the mesh's 'data' axis, and the
+# per-epoch batch indices become LOCAL per-shard permutations [nb, D, S_loc].
+# The scan-body gather is then a vmap over the device axis — every shard
+# gathers only from its own subject block, so the SPMD partitioner emits NO
+# collectives for the gather (the step's psums over 'data' for the KLD
+# accumulators and normalization moments are unchanged).  This is what lets
+# the one-dispatch-per-EPOCH training program run on a (data x latent) mesh.
+# ---------------------------------------------------------------------------
+
+def stage_dataset_mesh(ds: LongitudinalDataset, dtype, n_data: int):
+    """Upload the dataset as [n_data, P_local, T_max, ...] device arrays;
+    subjects are dealt to shards in contiguous blocks, short shards padded
+    with empty subjects (valid == 0)."""
+    import jax.numpy as jnp
+
+    P_loc = -(-ds.P // n_data)
+    idx = np.concatenate([np.arange(ds.P),
+                          -np.ones(n_data * P_loc - ds.P, np.int64)])
+    full = _pad_rows(ds, idx, ds.T_max)
+    D, T = n_data, ds.T_max
+
+    def shape4(a):
+        return a.reshape(D, P_loc, T, -1)
+
+    return {
+        "data": jnp.asarray(shape4(full["data"]), dtype),
+        "mask": jnp.asarray(shape4(full["mask"]), dtype),
+        "theta_mask": jnp.asarray(shape4(full["theta_mask"]), dtype),
+        "labels": jnp.asarray(shape4(full["labels"]), dtype),
+        "valid": jnp.asarray(full["valid"].reshape(D, P_loc, T), dtype),
+    }
+
+
+def gather_batch_mesh(staged, subj_idx):
+    """Per-shard on-device batch gather: staged [D, P_local, T, ...] and
+    LOCAL indices subj_idx [D, S_loc] (-1 = padding) -> flat-row batch dict
+    with S = D*S_loc subjects, rows sharded over 'data'."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(subj_idx)
+    safe = jnp.maximum(idx, 0)
+    alive = (idx >= 0).astype(staged["valid"].dtype)   # [D, S_loc]
+    D, S_loc = idx.shape
+    T = staged["valid"].shape[2]
+    take = jax.vmap(lambda blk, i: blk[i])
+    out = {}
+    for k in ("data", "mask", "theta_mask", "labels"):
+        v = take(staged[k], safe) * alive[:, :, None, None]
+        out[k] = v.reshape(D * S_loc * T, -1)
+    out["valid"] = (take(staged["valid"], safe)
+                    * alive[:, :, None]).reshape(D * S_loc, T)
+    return out
+
+
+def epoch_subject_batches_mesh(P: int, n_data: int, subjects_per_batch: int,
+                               rng: Optional[np.random.Generator] = None
+                               ) -> np.ndarray:
+    """One epoch of LOCAL per-shard subject indices, shape [nb, D, S_loc].
+
+    Each shard owns P_local = ceil(P/D) subject slots (the stage_dataset_mesh
+    block layout) and shuffles its REAL subjects independently; every real
+    subject appears exactly once per epoch.  S_loc = ceil(S/D), so the global
+    batch is the same ``subjects_per_batch`` whenever D divides it (it is
+    rounded up to D*S_loc otherwise).  With n_data == 1 this reduces to
+    ``epoch_subject_batches`` semantics exactly (one shard, same chunking)."""
+    P_loc = -(-P // n_data)
+    S_loc = -(-subjects_per_batch // n_data)
+    nb = -(-P_loc // S_loc)
+    out = -np.ones((nb, n_data, S_loc), np.int64)
+    for d in range(n_data):
+        n_real = min(P_loc, max(0, P - d * P_loc))
+        order = np.arange(n_real)
+        if rng is not None:
+            rng.shuffle(order)
+        for b in range(nb):
+            chunk = order[b * S_loc:(b + 1) * S_loc]
+            out[b, d, :len(chunk)] = chunk
+    return out

@@ -82,6 +82,15 @@ def forward_metrics(model, vae_params, ds: LongitudinalDataset, rng_seed=0):
     }
 
 
+def _bucket(n: int) -> int:
+    """Next power of two >= n: eval-path group shapes pad to buckets so a
+    genuinely ragged dataset compiles the heavy GP bounds O(log shapes)
+    times instead of once per unique (S, T) — the bounds mask padding via
+    ``valid``, so the values are unchanged (padding contributes exactly
+    zero, tests/test_gp.py)."""
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
 def _eval_gp_dtype(zt):
     """Eval-side GP bounds run in float64 when available: the W/K0zz
     Cholesky factorizations go NaN in float32 once the kernels are trained
@@ -117,14 +126,17 @@ def gp_loss_sampled(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
         for T in np.unique(lengths):
             sel = np.nonzero(lengths == T)[0]
             S = len(sel)
-            x_st = np.zeros((S, T, ds.Q))
-            y_st = np.zeros((S, T, mu.shape[1]))
+            Sb, Tb = _bucket(S), _bucket(T)
+            x_st = np.zeros((Sb, Tb, ds.Q))
+            y_st = np.zeros((Sb, Tb, mu.shape[1]))
+            valid = np.zeros((Sb, Tb))
             for i, sj in enumerate(sel):
                 a, b = ds.subject_start[sj], ds.subject_end[sj]
-                x_st[i], y_st[i] = ds.labels[a:b], z_sample[a:b]
+                x_st[i, :T], y_st[i, :T] = ds.labels[a:b], z_sample[a:b]
+                valid[i, :T] = 1.0
             val = gp_elbo.sample_elbo_jit(
                 spec0, k0, spec1, k1, noise, zt,
-                jnp.asarray(x_st, gdt), jnp.ones((S, T), gdt),
+                jnp.asarray(x_st, gdt), jnp.asarray(valid, gdt),
                 jnp.asarray(y_st, gdt), eps)
             total += -float(val)
     return total / num_samples
@@ -143,15 +155,21 @@ def gp_loss_dubo(spec0, k0, spec1, k1, noise, zt, ds: LongitudinalDataset,
     for T in np.unique(lengths):
         sel = np.nonzero(lengths == T)[0]
         S = len(sel)
-        x_st = np.zeros((S, T, ds.Q))
-        mu_st = np.zeros((S, T, mu.shape[1]))
-        lv_st = np.zeros((S, T, mu.shape[1]))
+        # per-equal-T groups preserved (the reference's estimator is a SUM
+        # of per-group bounds, not one joint bound); only the shapes pad
+        Sb, Tb = _bucket(S), _bucket(T)
+        x_st = np.zeros((Sb, Tb, ds.Q))
+        mu_st = np.zeros((Sb, Tb, mu.shape[1]))
+        lv_st = np.zeros((Sb, Tb, mu.shape[1]))
+        valid = np.zeros((Sb, Tb))
         for i, s in enumerate(sel):
             a, b = ds.subject_start[s], ds.subject_end[s]
-            x_st[i], mu_st[i], lv_st[i] = ds.labels[a:b], mu[a:b], log_var[a:b]
+            x_st[i, :T], mu_st[i, :T], lv_st[i, :T] = (
+                ds.labels[a:b], mu[a:b], log_var[a:b])
+            valid[i, :T] = 1.0
         val = gp_elbo.deviance_upper_bound_jit(
             spec0, k0, spec1, k1, noise, zt,
-            jnp.asarray(x_st, gdt), jnp.ones((S, T), gdt),
+            jnp.asarray(x_st, gdt), jnp.asarray(valid, gdt),
             jnp.asarray(mu_st, gdt), jnp.asarray(lv_st, gdt), eps)
         total += float(val)
     return total
@@ -172,12 +190,13 @@ def gp_predict_dataset(spec0, k0, spec1, k1, noise, zt,
     if eps is None:
         eps = gp_kernels.default_eps(gdt)
     L = zt.shape[0]
-    # pack prediction rows subject-major (order of first appearance)
+    # pack prediction rows subject-major (order of first appearance);
+    # bucket-padded shapes so ragged datasets compile O(buckets) times
     _, first = np.unique(pred_subject_col, return_index=True)
     subj = pred_subject_col[np.sort(first)]
     rows = [np.nonzero(pred_subject_col == s)[0] for s in subj]
-    Tp = max(len(r) for r in rows)
-    Sp = len(subj)
+    Tp = _bucket(max(len(r) for r in rows))
+    Sp = _bucket(len(subj))
     x_st = np.zeros((Sp, Tp, pred_x.shape[1]))
     mu_st = np.zeros((Sp, Tp, L))
     valid = np.zeros((Sp, Tp))

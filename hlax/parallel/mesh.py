@@ -73,29 +73,31 @@ GP_STATE_FIELDS = ("k0", "k1", "raw_noise", "zt", "m", "H")
 def state_shardings(state, mesh: Mesh):
     """GP state (leading latent axis) shards over 'latent'; everything else
     (VAE params, step, rng) is replicated.  The Adam state mirrors the
-    trainable dict {'vae','k0','k1','zt',...} — its GP leaves shard too."""
+    trainable dict {'vae','k0','k1','zt',...} — its GP leaves (the mu/nu
+    moments for zt, kernel params, and non-nat-grad m/H) shard on 'latent'
+    too, so no [L,M,M]-sized Adam moment is duplicated per device."""
     rep = NamedSharding(mesh, P())
     lat = NamedSharding(mesh, P(LATENT_AXIS))
-
-    def for_trainable_dict(d):
-        return {k: jax.tree_util.tree_map(
-            lambda _: lat if k in GP_STATE_FIELDS else rep, v)
-            for k, v in d.items()}
-
-    def opt_leafs(t):
-        # optax.adam state: (ScaleByAdamState(count, mu, nu), EmptyState)
-        return jax.tree_util.tree_map(
-            lambda x: rep, t)
-
     n_lat = mesh.shape[LATENT_AXIS]
+
     repl = {f: jax.tree_util.tree_map(lambda _: rep, getattr(state, f))
             for f in state._fields}
     for f in GP_STATE_FIELDS:
         repl[f] = jax.tree_util.tree_map(
             lambda x: lat if _dim0_fits(x, n_lat) else rep, getattr(state, f))
-    # opt_state entries for GP trainables shard on latent where shapes allow;
-    # replicating is also valid — jit will reshard as needed.
-    repl["opt_state"] = opt_leafs(state.opt_state)
+
+    def opt_leaf(path, x):
+        # optax.adam state: (ScaleByAdamState(count, mu, nu), EmptyState);
+        # mu/nu are dicts keyed like the trainable dict — a leaf under a GP
+        # field key shards on 'latent' when its leading dim divides the axis
+        keys = {p.key for p in path
+                if isinstance(p, jax.tree_util.DictKey)}
+        if keys & set(GP_STATE_FIELDS) and _dim0_fits(x, n_lat):
+            return lat
+        return rep
+
+    repl["opt_state"] = jax.tree_util.tree_map_with_path(
+        opt_leaf, state.opt_state)
     return type(state)(**repl)
 
 
@@ -124,5 +126,33 @@ def jit_train_step(step_fn, state, mesh: Mesh, batch, donate: bool = False):
     in_b = batch_sharding(mesh, batch)
     return jax.jit(step_fn,
                    in_shardings=(st_sh, in_b),
+                   out_shardings=(st_sh, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
+def staged_shardings(mesh: Mesh, staged) -> Dict[str, NamedSharding]:
+    """Shardings for a mesh-staged dataset [D, P_local, T, ...]: the leading
+    device axis shards over 'data' (D == mesh data size by construction)."""
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: row for k in staged}
+
+
+def shard_staged(staged, mesh: Mesh):
+    sh = staged_shardings(mesh, staged)
+    return {k: jax.device_put(v, sh[k]) for k, v in staged.items()}
+
+
+def jit_train_epoch(epoch_fn, state, mesh: Mesh, staged,
+                    donate: bool = False):
+    """jit the whole-epoch scan (make_train_epoch_mesh) with explicit in/out
+    shardings: GP state on 'latent', the staged dataset's device axis on
+    'data', the [nb, D, S_loc] index batches replicated.  One dispatch per
+    EPOCH on the mesh — the per-step-dispatch data-parallel mode this
+    replaces re-entered Python every batch, giving back the dispatch
+    latency the epoch scan exists to kill."""
+    st_sh = state_shardings(state, mesh)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(epoch_fn,
+                   in_shardings=(st_sh, staged_shardings(mesh, staged), rep),
                    out_shardings=(st_sh, rep),
                    donate_argnums=(0,) if donate else ())

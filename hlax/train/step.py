@@ -105,10 +105,23 @@ def init_train_state(
     key = jax.random.PRNGKey(seed)
     k_vae, k_m, k_h, k_z, k_run = jax.random.split(key, 5)
     dt = cfg.gp_dtype
-    data = jnp.asarray(example_batch["data"], model.cfg.dtype)
-    mask = jnp.asarray(example_batch["mask"], model.cfg.dtype)
-    tmask = jnp.asarray(example_batch["theta_mask"], model.cfg.dtype)
-    vae = model.init(k_vae, data, mask, tmask, k_vae)
+
+    def _init_vae():
+        data = jnp.asarray(example_batch["data"], model.cfg.dtype)
+        mask = jnp.asarray(example_batch["mask"], model.cfg.dtype)
+        tmask = jnp.asarray(example_batch["theta_mask"], model.cfg.dtype)
+        return model.init(k_vae, data, mask, tmask, k_vae)
+
+    if model.cfg.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        # full-f64 model on TPU: flax's truncated-normal initializer lowers
+        # a ``nextafter`` that XLA's x64 rewrite cannot legalize on the
+        # chip — run the init on the host CPU backend and transfer (the
+        # reference's native dtype, HLVAE_main.py:158 ``.double()``)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            vae = _init_vae()
+        vae = jax.device_put(vae, jax.devices()[0])
+    else:
+        vae = _init_vae()
 
     L, M = cfg.latent_dim, cfg.M
     labels = np.asarray(example_batch["labels"])
@@ -273,6 +286,28 @@ def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     def epoch(state: TrainState, staged, idx_batches):
         def body(st, idx):
             return step(st, gather_batch(staged, idx))
+        return jax.lax.scan(body, state, idx_batches)
+
+    return epoch
+
+
+def make_train_epoch_mesh(model: HLVAE, spec0, spec1, cfg: TrainConfig):
+    """Whole-epoch training as ONE XLA program over a (data x latent) mesh.
+
+    ``epoch(state, staged, idx_batches)``: like ``make_train_epoch`` but the
+    staged dataset carries an explicit leading device axis [D, P_local, ...]
+    (sharded over 'data') and ``idx_batches`` is [nb, D, S_loc] LOCAL
+    per-shard subject indices — the scan-body gather is a vmap over the
+    device axis, so every shard gathers from its own block and the SPMD
+    partitioner adds no collectives for the data movement.  Jit through
+    ``hlax.parallel.mesh.jit_train_epoch`` to pin the shardings."""
+    from hlax.data.dataset import gather_batch_mesh
+
+    step = make_train_step(model, spec0, spec1, cfg)
+
+    def epoch(state: TrainState, staged, idx_batches):
+        def body(st, idx):
+            return step(st, gather_batch_mesh(staged, idx))
         return jax.lax.scan(body, state, idx_batches)
 
     return epoch

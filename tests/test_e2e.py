@@ -133,7 +133,8 @@ def test_cli_train_eval_pipeline(data_dir, tmp_path):
 
 @pytest.mark.slow
 def test_cli_data_parallel_smoke(data_dir, tmp_path):
-    """--data_parallel shards the training loop over the virtual CPU mesh."""
+    """--data_parallel x --latent_parallel runs the one-dispatch-per-epoch
+    training scan on a (2 data x 2 latent) virtual CPU mesh from flags."""
     save = tmp_path / "dp_run"
     cfg_file = tmp_path / "dp_cfg.txt"
     cfg_file.write_text("\n".join([
@@ -151,7 +152,7 @@ def test_cli_data_parallel_smoke(data_dir, tmp_path):
         "--cat_int_kernel=[]", "--bin_int_kernel=[]",
         "--covariate_missing_val=[]",
         "--hidden_layers=[16]", "--conv_hivae=True", "--y_dim=3",
-        "--data_parallel=2",
+        "--data_parallel=2", "--latent_parallel=2",
         "--gp_dtype=float64", "--model_dtype=float64",
     ]))
     out = main_cli.main([f"--f={cfg_file}"])

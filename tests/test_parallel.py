@@ -108,3 +108,93 @@ def test_explicit_shardings_uneven_latent():
                                                           rng=None))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_opt_state_latent_sharded():
+    """Adam moments for latent-sharded GP leaves shard on 'latent' (no
+    [L,M,M] moment replicated on a latent>1 mesh); VAE moments replicate."""
+    assert len(jax.devices()) >= 8
+    step, state, batch = _setup()
+    mesh = pmesh.make_mesh(n_data=4, n_latent=2)
+    sh = pmesh.state_shardings(state, mesh)
+    adam = sh.opt_state[0]          # ScaleByAdamState(count, mu, nu)
+    from jax.sharding import PartitionSpec
+    assert adam.mu["zt"].spec == PartitionSpec(pmesh.LATENT_AXIS)
+    assert adam.nu["zt"].spec == PartitionSpec(pmesh.LATENT_AXIS)
+    vae_mu_specs = {s.spec for s in jax.tree_util.tree_leaves(adam.mu["vae"])}
+    assert vae_mu_specs == {PartitionSpec()}
+    # uneven L=5 on a 2-device latent axis falls back to replication
+    step5, state5, _ = _setup(S=8, L=5)
+    sh5 = pmesh.state_shardings(state5, mesh)
+    assert sh5.opt_state[0].mu["zt"].spec == PartitionSpec()
+
+
+def test_mesh_epoch_scan_matches_single_device():
+    """The whole-epoch lax.scan training program on a (data x latent) mesh
+    (sharded staged dataset + local per-shard gathers) matches the
+    single-device epoch scan batch-for-batch."""
+    from hlax.data.dataset import (stage_dataset, stage_dataset_mesh,
+                                   epoch_subject_batches_mesh)
+    from hlax.data.reader import encode_raw
+    assert len(jax.devices()) >= 8
+
+    # rebuild the _setup dataset object (S=8 subjects, T=4)
+    rng = np.random.default_rng(2)
+    types = [{"type": "real", "dim": 1, "nclass": 1},
+             {"type": "cat", "dim": 1, "nclass": 3}]
+    S, T = 8, 4
+    n = S * T
+    raw = np.column_stack([rng.normal(0, 1, n),
+                           rng.integers(0, 3, n).astype(float)])
+    het = encode_raw(raw, types,
+                     miss_mask=(rng.random((n, 2)) > 0.2).astype(float))
+    labels = np.zeros((n, 3))
+    labels[:, 0] = np.tile(np.arange(T), S)
+    labels[:, 2] = np.repeat(np.arange(S), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2,
+                             conv=False)
+    spec0, spec1 = build_kernel_specs(
+        [2], [], [0], [{"cont_covariate": 0, "cat_covariate": 2}], [], [], 2)
+    cfg = tstep.TrainConfig(latent_dim=4, M=6, P_tot=float(S), N_tot=float(n),
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float64)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=4, h_dims=(8,), y_dim=2,
+                       conv=False, dtype=jnp.float64)
+    model = HLVAE(mcfg)
+    batch = next(subject_batches(ds, S))
+    state = tstep.init_train_state(model, spec0, spec1, batch, cfg, seed=0)
+
+    D = 4
+    idx_mesh = epoch_subject_batches_mesh(ds.P, D, 4,
+                                          np.random.default_rng(7))
+    nb = idx_mesh.shape[0]
+    P_loc = ds.P // D
+    # equivalent global batches: local index -> shard-block global index
+    offs = (np.arange(D) * P_loc)[None, :, None]
+    idx_global = np.where(idx_mesh >= 0, idx_mesh + offs, -1).reshape(nb, -1)
+
+    staged = stage_dataset(ds, jnp.float64)
+    ep1 = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+    s1, m1 = ep1(state, staged, jnp.asarray(idx_global))
+
+    mesh = pmesh.make_mesh(n_data=D, n_latent=2)
+    with mesh:
+        staged_m = pmesh.shard_staged(
+            stage_dataset_mesh(ds, jnp.float64, D), mesh)
+        state_sh = pmesh.shard_state(state, mesh)
+        ep2 = pmesh.jit_train_epoch(
+            tstep.make_train_epoch_mesh(model, spec0, spec1, cfg),
+            state, mesh, staged_m)
+        s2, m2 = ep2(state_sh, staged_m, jnp.asarray(idx_mesh))
+        # steady state: the output feeds the next epoch without resharding
+        s3, m3 = ep2(s2, staged_m, jnp.asarray(idx_mesh))
+        assert np.isfinite(np.asarray(m3["loss"])).all()
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(s1._replace(opt_state=None,
+                                                          rng=None)),
+                    jax.tree_util.tree_leaves(s2._replace(opt_state=None,
+                                                          rng=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
