@@ -1,12 +1,21 @@
 """Benchmark: Health-MNIST canonical-config training + imputation eval.
 
 Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
-  1. train steps/sec/chip (canonical config, 30 measured steps), and
+  1. train steps/sec/chip (canonical config, 300 measured steps = 30
+     epochs x 10 steps), and
   2. imputation-eval samples/sec measured on a TRAINED model — after the
-     timing window the same state is trained an extra TRAIN_STEPS steps
-     (~300 epochs at canonical scale, the QUALITY.md convergence horizon)
-     so the eval throughput is quoted at a converged ELBO, not at a random
-     init (BASELINE.md "at matched ELBO"); the final net loss is attached.
+     timing window the same state is trained an extra TRAIN_EPOCHS=100
+     epochs (the bench workload's loss plateau; the full QUALITY.md study
+     converges by ~300-400) so the eval throughput is quoted at a real
+     converged ELBO, not a random init (BASELINE.md "at matched ELBO").
+     ``net_loss_at_eval`` is the final epoch's MEAN per-batch net loss —
+     the quantity the CLI prints per epoch — on the REAL Health-MNIST data.
+
+Data: the actual Heterogeneous Health-MNIST D4 battery, synthesized
+in-memory by ``hlax.data.generate`` (rotation disease model, 5-level
+quantized quadrants, 25% missingness — the reference's own generator
+semantics, Heterogeneous_Health_MNIST_generate.py), seeded.  Round 2 used
+uniform-random pixels here; the loss at eval was a meaningless +5.1M.
 
 Configuration matches the reference's canonical run
 (/root/reference/config/hlvae_config_file.txt): Heterogeneous Health-MNIST
@@ -18,7 +27,9 @@ constrain_scales=True.
 Baseline: the reference cannot run here (gpytorch not installed), so
 ``baselines/torch_baseline.py`` measures a faithful plain-torch float64 CPU
 replica of the same training step (the reference's own device story —
-SURVEY.md §6).  Its steps/sec is cached in baselines/baseline_cpu.json.
+SURVEY.md §6) on THIS host, which exposes a single CPU core.  Its numbers
+are cached in baselines/baseline_cpu.json; every vs_baseline multiplier
+therefore reads "vs single-core single-thread float64 torch replica".
 """
 
 from __future__ import annotations
@@ -38,6 +49,15 @@ EPOCHS_MEASURED = 30     # 10 steps/epoch at canonical scale -> 300 steps
 # workload (loss plateaus ~ep100); kept modest so the driver's bench stays
 # fast even when the tunnel relay is degraded (NOTES.md)
 TRAIN_EPOCHS = 100
+# epochs scanned per dispatch (the CLI's --epochs_per_dispatch): the relay
+# adds 2.6 s PER DISPATCH when degraded, so per-epoch dispatch would measure
+# the relay, not the chip; 10-epoch chunks amortize it 10x while remaining a
+# genuine end-to-end protocol (users run many epochs between validations)
+CHUNK = 10
+# the reference's eval protocol batches 500 rows (model_test.py:13-38);
+# the eval measurement chunks identically so vs_baseline compares the
+# framework, not the batching
+EVAL_CHUNK = 500
 
 
 def build():
@@ -45,30 +65,26 @@ def build():
     jax.config.update("jax_enable_x64", True)   # f64 natural-gradient chain
     import jax.numpy as jnp
 
+    from hlax.data import generate as gen
     from hlax.data.reader import encode_raw
-    from hlax.data.dataset import (LongitudinalDataset, subject_batches,
+    from hlax.data.dataset import (HEALTH_MNIST_LABEL_ORDER,
+                                   LongitudinalDataset, subject_batches,
                                    stage_dataset)
     from hlax.gp.kernels import build_kernel_specs
     from hlax.models import HLVAE, HLVAEConfig
     from hlax.train import step as tstep
 
-    rng = np.random.default_rng(0)
-    n = P_SUBJ * T
-    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
-             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
-    raw = np.column_stack([
-        rng.random((n, 324)) * 255,
-        rng.integers(0, 5, (n, 972)).astype(float),
-    ])
-    miss = (rng.random((n, 1296)) > 0.25).astype(float)
-    het = encode_raw(raw, types, miss_mask=miss)
-    labels = np.zeros((n, 6))
-    labels[:, 0] = np.tile(np.arange(T), P_SUBJ)                 # time_age
-    labels[:, 1] = np.repeat(rng.integers(-9, 11, P_SUBJ), T)    # disease_time
-    labels[:, 2] = np.repeat(np.arange(P_SUBJ), T)               # subject
-    labels[:, 3] = np.repeat(rng.integers(0, 2, P_SUBJ), T)      # gender
-    labels[:, 4] = np.repeat(rng.integers(0, 2, P_SUBJ), T)      # disease
+    # real Health-MNIST D4: P=200 subjects (100 threes + 100 sixes) x T=20
+    out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2, missing=25.0,
+                       datatype_config="D4", seed=0)
+    het = encode_raw(out["data"], gen.types_table("D4"),
+                     miss_mask=out["mask"])
+    # label-column reorder + NaN->0, as the ingestion layer does for
+    # n_variables == 1296 (hlax/data/dataset.py::load_dataset)
+    labels = np.nan_to_num(
+        out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
     ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
+    n = len(ds)
 
     spec0, spec1 = build_kernel_specs(
         cat_kernel=[2], bin_kernel=[], sqexp_kernel=[0],
@@ -103,19 +119,24 @@ def main():
     nb = (P_SUBJ + S_BATCH - 1) // S_BATCH
     rng = np.random.default_rng(0)
 
-    def idx_mat():
-        return jnp.asarray(np.stack(list(
-            epoch_subject_batches(ds.P, S_BATCH, rng))))
+    def idx_chunk(k=CHUNK):
+        mats = [np.stack(list(epoch_subject_batches(ds.P, S_BATCH, rng)))
+                for _ in range(k)]
+        return jnp.asarray(np.concatenate(mats, axis=0))
 
-    # warmup: compile + 2 epochs
-    state, metrics = epoch_fn(state, staged, idx_mat())
-    state, metrics = epoch_fn(state, staged, idx_mat())
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: all timing syncs below are actual VALUE FETCHES (np.asarray),
+    # not block_until_ready — through the axon remote-device relay
+    # block_until_ready can return before the queued programs finish, which
+    # silently turns a throughput measurement into an enqueue-rate
+    # measurement (round-3 finding; the round-2 headline numbers were
+    # inflated ~10x by exactly this).
+    state, metrics = epoch_fn(state, staged, idx_chunk())   # compile + warmup
+    np.asarray(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(EPOCHS_MEASURED):
-        state, metrics = epoch_fn(state, staged, idx_mat())
-    jax.block_until_ready(metrics["loss"])
+    for _ in range(EPOCHS_MEASURED // CHUNK):
+        state, metrics = epoch_fn(state, staged, idx_chunk())
+        np.asarray(metrics["loss"])   # forces completion
     dt = time.perf_counter() - t0
     steps_per_sec = EPOCHS_MEASURED * nb / dt
 
@@ -133,14 +154,12 @@ def main():
     }), flush=True)
 
     # train to convergence so the eval metric is quoted at a real ELBO
-    # (sync every few epochs: hundreds of queued async dispatches can wedge
-    # a remote-device relay)
-    for i in range(TRAIN_EPOCHS):
-        state, metrics = epoch_fn(state, staged, idx_mat())
-        if i % 10 == 9:
-            jax.block_until_ready(metrics["loss"])
-    jax.block_until_ready(metrics["loss"])
-    final_loss = float(np.asarray(metrics["loss"])[-1])
+    for _ in range(TRAIN_EPOCHS // CHUNK):
+        state, metrics = epoch_fn(state, staged, idx_chunk())
+        np.asarray(metrics["loss"])
+    # final epoch's MEAN per-batch net loss (the per-epoch quantity the CLI
+    # prints), not the last batch's
+    final_loss = float(np.asarray(metrics["loss"])[-nb:].mean())
 
     eval_throughput(model, state.vae, het,
                     baseline.get("eval_samples_per_sec"), final_loss)
@@ -150,9 +169,11 @@ def main():
 
 def eval_throughput(model, params, het, eval_base=None, final_loss=None):
     """Secondary metric: imputation-eval samples/sec — full encode->decode +
-    masked likelihoods on the canonical-shaped dataset (the reference's
+    masked likelihoods on the real Health-MNIST dataset (the reference's
     HLVAETest hot path, model_test.py:135-275), measured with the TRAINED
-    parameters handed in by main()."""
+    parameters handed in by main().  Chunked at EVAL_CHUNK=500 rows to
+    mirror the reference's eval DataLoader batch (model_test.py:13-38), so
+    the vs_baseline ratio compares frameworks under the same protocol."""
     import jax
     import jax.numpy as jnp
     from hlax.eval.jits import forward_fn
@@ -163,13 +184,24 @@ def eval_throughput(model, params, het, eval_base=None, final_loss=None):
     mask = jnp.asarray(het.mask, jnp.float32)
     tmask = jnp.asarray(het.theta_mask, jnp.float32)
     fwd = forward_fn(model)
-    out = fwd(params, data, mask, tmask, key, False)
-    jax.block_until_ready(out["log_p_x"])
+
+    def one_pass():
+        # value-fetch per chunk: the reference's eval loop materializes every
+        # batch's outputs on host too (model_test.py:190-210), and a fetch is
+        # the only sync the remote relay cannot satisfy early
+        tot = 0.0
+        for i in range(0, n, EVAL_CHUNK):
+            out = fwd(params, data[i:i + EVAL_CHUNK],
+                      mask[i:i + EVAL_CHUNK], tmask[i:i + EVAL_CHUNK],
+                      key, False)
+            tot += float(np.asarray(out["log_p_x"]).sum())
+        return tot
+
+    one_pass()   # compile warmup
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
-        out = fwd(params, data, mask, tmask, key, False)
-    jax.block_until_ready(out["log_p_x"])
+        one_pass()
     dt = time.perf_counter() - t0
     rate = reps * n / dt
     print(json.dumps({

@@ -250,36 +250,62 @@ def run(opt: dict) -> dict:
 
     profile_dir = opt.get("profile_dir") or ""
 
+    # multi-epoch chunked dispatch: scan up to k epochs in ONE XLA dispatch,
+    # never across a validation/save boundary (those need the state on host).
+    # Per-epoch console lines and bookkeeping are unchanged — they are
+    # printed from the returned [k*nb] metrics; the Time column is the
+    # burst wall time split evenly.  k=1 (default) is exact per-epoch parity.
+    epochs_per_dispatch = max(1, opt.get("epochs_per_dispatch") or 1)
+
+    def _boundary(e):
+        return (e % save_interval == 0
+                or (validation_dataset is not None
+                    and e % validation_interval == 0))
+
     _memory_dbg(opt.get("memory_dbg"), "initialisation")
     start = timer()
-    for epoch in range(1, epochs + 1):
+    epoch = 1
+    while epoch <= epochs:
+        burst = 1
+        while (burst < epochs_per_dispatch and epoch + burst <= epochs
+               and not _boundary(epoch + burst - 1)):
+            burst += 1
         t0 = time.time()
-        sums = {"net": 0.0, "nll": 0.0, "kld": 0.0, "recon": 0.0}
-        recon_sum2, miss_recon_sum = 0.0, 0.0
-        if profile_dir and epoch == 2:
+        profiling = profile_dir and epoch <= 2 <= epoch + burst - 1
+        if profiling:
             jax.profiler.start_trace(profile_dir)
-        state, ms = epoch_fn(state, staged, jnp.asarray(epoch_idx(rng)))
-        ms = {k: np.asarray(v) for k, v in ms.items()}   # [nb] each
-        sums["net"] = float(ms["loss"].mean())
-        sums["nll"] = float(ms["nll"].mean())
-        sums["kld"] = float(ms["kld"].mean())
-        sums["recon"] = float(ms["recon"].mean())
-        recon_sum2 = float(ms["recon"].sum())
-        miss_recon_sum = float(ms["miss_recon"].sum())
-        if profile_dir and epoch == 2:
+        idx = np.concatenate([np.asarray(epoch_idx(rng))
+                              for _ in range(burst)], axis=0)
+        state, ms_all = epoch_fn(state, staged, jnp.asarray(idx))
+        ms_all = {k: np.asarray(v) for k, v in ms_all.items()}  # [burst*nb]
+        if profiling:
             jax.profiler.stop_trace()
-        print("Iter %d/%d - Time: %.3f  - Loss: %.3f  - GP loss: %.3f  "
-              "- NLL Loss: %.3f  - Recon Loss: %.3f"
-              % (epoch, epochs, time.time() - t0,
-                 sums["net"], sums["kld"], sums["nll"], recon_sum2),
-              flush=True)
-        for k in loss_arrs:
-            loss_arrs[k].append(sums[k])
-        miss_recon_loss = miss_recon_sum / len(dataset)
-        # reference denominator is N * mask columns (training.py:157)
-        print(f"Error for Training: "
-              f"{recon_sum2 / (len(dataset) * dataset.het.mask.shape[1])}")
+        t_per = (time.time() - t0) / burst
+        nb_ep = len(ms_all["loss"]) // burst
 
+        for j in range(burst):
+            epoch_j = epoch + j
+            ms = {k: v[j * nb_ep:(j + 1) * nb_ep] for k, v in ms_all.items()}
+            sums = {"net": float(ms["loss"].mean()),
+                    "nll": float(ms["nll"].mean()),
+                    "kld": float(ms["kld"].mean()),
+                    "recon": float(ms["recon"].mean())}
+            recon_sum2 = float(ms["recon"].sum())
+            miss_recon_sum = float(ms["miss_recon"].sum())
+            print("Iter %d/%d - Time: %.3f  - Loss: %.3f  - GP loss: %.3f  "
+                  "- NLL Loss: %.3f  - Recon Loss: %.3f"
+                  % (epoch_j, epochs, t_per,
+                     sums["net"], sums["kld"], sums["nll"], recon_sum2),
+                  flush=True)
+            for k in loss_arrs:
+                loss_arrs[k].append(sums[k])
+            miss_recon_loss = miss_recon_sum / len(dataset)
+            # reference denominator is N * mask columns (training.py:157)
+            print(f"Error for Training: "
+                  f"{recon_sum2 / (len(dataset) * dataset.het.mask.shape[1])}")
+
+        # post-epoch actions: only the burst's LAST epoch can be a boundary
+        epoch = epoch + burst - 1
         run_val = (validation_dataset is not None
                    and (epoch % validation_interval == 0
                         or epoch % save_interval == 0))
@@ -356,6 +382,7 @@ def run(opt: dict) -> dict:
                 best_value, best_epoch = validation_curve[-1], epoch
                 best_epoch_missing_imp_error = miss_recon_loss
                 ckpt.save(save_path, state, name=ckpt.EARLY_BEST_NAME)
+        epoch += 1
 
     if mesh_ctx is not None:
         mesh_ctx.__exit__(None, None, None)

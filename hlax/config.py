@@ -131,6 +131,11 @@ class ModelArgs:
                  "HLVAE_main.py:85; empty = jax default)")
         add("--profile_dir", type=str, default="",
             help="write jax profiler traces here (tracing subsystem)")
+        add("--epochs_per_dispatch", type=int, default=1,
+            help="scan up to this many epochs per XLA dispatch (never "
+                 "across a validation/save boundary); amortizes dispatch "
+                 "latency through remote-device links, console output "
+                 "unchanged")
         add("--seed", type=int, default=0)
         add("--eps", type=float, default=None,
             help="GP jitter (default: 1e-6 for float64, 1e-4 for float32)")

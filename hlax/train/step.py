@@ -268,16 +268,22 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     return step
 
 
-def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig):
+def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig,
+                     unroll: int = 1):
     """Whole-epoch training as ONE XLA program (jit-ready).
 
     ``epoch(state, staged, idx_batches)``: lax.scan of the train step over
     [n_batches, S] subject-index arrays, gathering each padded batch from the
     device-staged dataset inside the scan body.  One dispatch per EPOCH
-    instead of one per step — through a remote-device link the per-step
-    dispatch latency dominates (A/B on v5e: 2.4k steps/sec dispatched
-    per-step vs 17.3k scanned; the reference re-enters Python per batch,
+    instead of one per step (the reference re-enters Python per batch,
     training.py:70).  Returns (state, metrics) with metrics stacked [nb].
+
+    ``unroll``: lax.scan unroll factor.  The axon remote-device relay
+    executes each while-loop trip with a per-trip round-trip cost (measured
+    round 3: wall time linear in scanned steps at ~the per-dispatch
+    latency), so unrolling the loop body removes that per-trip tax on
+    relay-attached devices; on directly-attached TPUs it is a conventional
+    pipelining knob.  Program size grows ~unroll x (compile time too).
     """
     from hlax.data.dataset import gather_batch
 
@@ -286,7 +292,7 @@ def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     def epoch(state: TrainState, staged, idx_batches):
         def body(st, idx):
             return step(st, gather_batch(staged, idx))
-        return jax.lax.scan(body, state, idx_batches)
+        return jax.lax.scan(body, state, idx_batches, unroll=unroll)
 
     return epoch
 

@@ -153,10 +153,12 @@ def test_cli_data_parallel_smoke(data_dir, tmp_path):
         "--covariate_missing_val=[]",
         "--hidden_layers=[16]", "--conv_hivae=True", "--y_dim=3",
         "--data_parallel=2", "--latent_parallel=2",
+        "--epochs_per_dispatch=2",
         "--gp_dtype=float64", "--model_dtype=float64",
     ]))
     out = main_cli.main([f"--f={cfg_file}"])
     assert np.isfinite(out["loss_arrs"]["net"]).all()
+    assert len(out["loss_arrs"]["net"]) == 3   # per-epoch bookkeeping intact
 
 
 @pytest.mark.slow
