@@ -191,3 +191,52 @@ def test_epoch_scan_matches_per_step():
                     jax.tree_util.tree_leaves(s_scan._replace(opt_state=None))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_chunked_dispatch_matches_per_epoch():
+    """One [2*nb] chunked dispatch (--epochs_per_dispatch) must equal two
+    sequential [nb] epoch dispatches bit-for-bit (same scan body, same
+    batch order; only the dispatch boundary differs), incl. the unrolled
+    variant (make_train_epoch(..., unroll=...))."""
+    from hlax.data.dataset import stage_dataset
+
+    ds = _dataset(varying=True)
+    spec0, spec1 = build_kernel_specs(
+        cat_kernel=[ID_COV], bin_kernel=[], sqexp_kernel=[0],
+        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": ID_COV}],
+        bin_int_kernel=[], covariate_missing_val=[], id_covariate=ID_COV)
+    cfg = tstep.TrainConfig(latent_dim=L, M=M, P_tot=float(ds.P),
+                            N_tot=float(len(ds)), id_covariate=ID_COV,
+                            natural_gradient=True, constrain_scales=True,
+                            gp_dtype=jnp.float64)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=L, h_dims=(16,), y_dim=3,
+                       conv=False, dtype=jnp.float64)
+    model = HLVAE(mcfg)
+    state = tstep.init_train_state(model, spec0, spec1,
+                                   next(subject_batches(ds, 3)), cfg, seed=0)
+    staged = stage_dataset(ds, jnp.float64)
+    spb = 3
+    rng = np.random.default_rng(5)
+    from hlax.data.dataset import epoch_subject_batches
+    i1 = np.stack(list(epoch_subject_batches(ds.P, spb, rng)))
+    i2 = np.stack(list(epoch_subject_batches(ds.P, spb, rng)))
+
+    epoch = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+    sA, mA1 = epoch(state, staged, jnp.asarray(i1))
+    sA, mA2 = epoch(sA, staged, jnp.asarray(i2))
+
+    chunk = jnp.asarray(np.concatenate([i1, i2], axis=0))
+    sB, mB = epoch(state, staged, chunk)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(mA1["loss"]), np.asarray(mA2["loss"])]),
+        np.asarray(mB["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(sA._replace(opt_state=None)),
+                    jax.tree_util.tree_leaves(sB._replace(opt_state=None))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # unrolled scan: same numbers, different schedule
+    ep_u = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg,
+                                          unroll=len(i1)))
+    sU, mU = ep_u(state, staged, jnp.asarray(i1))
+    np.testing.assert_allclose(np.asarray(mU["loss"]),
+                               np.asarray(mA1["loss"]), rtol=1e-12)
