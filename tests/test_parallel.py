@@ -198,3 +198,71 @@ def test_mesh_epoch_scan_matches_single_device():
                                                           rng=None))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_mesh_epoch_uneven_subjects():
+    """Mesh epoch path with P=7 subjects on a 4-device data axis (shards own
+    2/2/2/1 subjects; padded slots everywhere) matches single-device
+    execution of the equivalent global batches."""
+    from hlax.data.dataset import (stage_dataset, stage_dataset_mesh,
+                                   epoch_subject_batches_mesh)
+    from hlax.data.reader import encode_raw
+
+    rng = np.random.default_rng(3)
+    types = [{"type": "real", "dim": 1, "nclass": 1},
+             {"type": "cat", "dim": 1, "nclass": 3}]
+    S, T = 7, 3
+    n = S * T
+    raw = np.column_stack([rng.normal(0, 1, n),
+                           rng.integers(0, 3, n).astype(float)])
+    het = encode_raw(raw, types,
+                     miss_mask=(rng.random((n, 2)) > 0.2).astype(float))
+    labels = np.zeros((n, 3))
+    labels[:, 0] = np.tile(np.arange(T), S)
+    labels[:, 2] = np.repeat(np.arange(S), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2,
+                             conv=False)
+    spec0, spec1 = build_kernel_specs(
+        [2], [], [0], [], [], [], 2)
+    cfg = tstep.TrainConfig(latent_dim=3, M=5, P_tot=float(S), N_tot=float(n),
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float64)
+    model = HLVAE(HLVAEConfig(layout=ds.layout, z_dim=3, h_dims=(8,), y_dim=2,
+                              conv=False, dtype=jnp.float64))
+    state = tstep.init_train_state(model, spec0, spec1,
+                                   next(subject_batches(ds, S)), cfg, seed=0)
+
+    D = 4
+    P_loc = -(-ds.P // D)          # 2
+    idx_mesh = epoch_subject_batches_mesh(ds.P, D, 3,
+                                          np.random.default_rng(9))
+    nb = idx_mesh.shape[0]
+    offs = (np.arange(D) * P_loc)[None, :, None]
+    idx_global = np.where(idx_mesh >= 0, idx_mesh + offs, -1).reshape(nb, -1)
+    assert (idx_global < ds.P).all()
+    # every real subject appears exactly once per epoch
+    real = idx_global[idx_global >= 0]
+    assert sorted(real.tolist()) == list(range(ds.P))
+
+    staged = stage_dataset(ds, jnp.float64)
+    ep1 = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+    s1, m1 = ep1(state, staged, jnp.asarray(idx_global))
+
+    mesh = pmesh.make_mesh(n_data=D, n_latent=2)
+    with mesh:
+        staged_m = pmesh.shard_staged(
+            stage_dataset_mesh(ds, jnp.float64, D), mesh)
+        ep2 = pmesh.jit_train_epoch(
+            tstep.make_train_epoch_mesh(model, spec0, spec1, cfg),
+            state, mesh, staged_m)
+        s2, m2 = ep2(pmesh.shard_state(state, mesh), staged_m,
+                     jnp.asarray(idx_mesh))
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(s1._replace(opt_state=None,
+                                                          rng=None)),
+                    jax.tree_util.tree_leaves(s2._replace(opt_state=None,
+                                                          rng=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
