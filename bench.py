@@ -82,14 +82,22 @@ def build():
     from hlax.train import step as tstep
 
     # real Health-MNIST D4: P=200 subjects (100 threes + 100 sixes) x T=20
-    out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2, missing=25.0,
-                       datatype_config="D4", seed=0)
-    het = encode_raw(out["data"], gen.types_table("D4"),
-                     miss_mask=out["mask"])
-    # label-column reorder + NaN->0, as the ingestion layer does for
-    # n_variables == 1296 (hlax/data/dataset.py::load_dataset)
-    labels = np.nan_to_num(
-        out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
+    # (cached: the generator's per-image scipy rotations cost ~100 s of
+    # host CPU; the bench measures the framework, not dataset synthesis)
+    cache = f"/tmp/hlax_bench_hm_d4_p{P_SUBJ}_seed0.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        raw_data, raw_mask, labels = z["data"], z["mask"], z["labels"]
+    else:
+        out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2,
+                           missing=25.0, datatype_config="D4", seed=0)
+        raw_data, raw_mask = out["data"], out["mask"]
+        # label-column reorder + NaN->0, as the ingestion layer does for
+        # n_variables == 1296 (hlax/data/dataset.py::load_dataset)
+        labels = np.nan_to_num(
+            out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
+        np.savez(cache, data=raw_data, mask=raw_mask, labels=labels)
+    het = encode_raw(raw_data, gen.types_table("D4"), miss_mask=raw_mask)
     ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
     n = len(ds)
 

@@ -162,7 +162,9 @@ def run(opt: dict) -> dict:
         natural_gradient=opt.get("natural_gradient", True),
         natural_gradient_lr=opt.get("natural_gradient_lr", 0.01),
         constrain_scales=opt.get("constrain_scales", False),
-        eps=opt.get("eps"), gp_dtype=gp_dtype)
+        eps=opt.get("eps"), gp_dtype=gp_dtype,
+        nat_grad_f64=opt.get("nat_grad_f64", True),
+        nat_grad_jitter=opt.get("nat_grad_jitter", 0.0))
 
     subjects_per_batch = opt.get("subjects_per_batch", 20)
     state = tstep.init_train_state(model, spec0, spec1,

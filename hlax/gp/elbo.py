@@ -143,11 +143,16 @@ def kld_upper_bound(
 
     ``nat_grad_dtype``: compute dtype for the closed-form natural-gradient
     chain (iK0zz/B_mat compositions + iH).  The chain composes matrices with
-    eigenvalues up to 1/eps; in float32 the composition error makes the
-    (m, H) fixed-point recursion *expansive* — at canonical Health-MNIST
-    scale |m| doubles per epoch from ~ep105 and the run NaNs, while float64
-    is stable (measured 2026-08-16).  Pass jnp.float64 (with x64 enabled) to
-    run just this chain — [L,M,M]-sized, off the MXU hot path — in double.
+    eigenvalues up to 1/eps; round 2 found pure float32 here diverges at
+    canonical Health-MNIST scale (NaN by ~ep75-120) and shipped a float64
+    chain.  Round 3 root-caused the divergence to the *explicit-inverse
+    composition* iK·Kz·iK (squares the rounding error of iK on the
+    near-singular Nystrom gram) and replaced it with backward-stable
+    triangular solves on the K0zz Cholesky factor — with which the PURE
+    float32 chain is stable through 300 canonical-GP-scale epochs (CPU
+    repro harness, 2026-08-17).  float64 (pass jnp.float64 with x64
+    enabled) remains the belt-and-braces default; float32 is the fast path
+    where f64 is expensive.
     """
     Ldim = z.shape[0]
     M = z.shape[1]
@@ -196,19 +201,32 @@ def kld_upper_bound(
     grad_m = grad_H = iH_out = None
     if natural_gradient:
         cdt = nat_grad_dtype or x_st.dtype
-        iK = blk.iK0zz.astype(cdt)
         Kz = KziBK.astype(cdt)
         m_c = m.astype(cdt)
         iB_mu = jnp.einsum("lstu,sul->lst", blk.iB, mu_m)
         ng_P1 = jnp.einsum("lstm,lst->lm", blk.K0xz,
                            iB_mu)[:, :, None].astype(cdt)
-        B_mat = jnp.einsum("lmn,lno,lop->lmp", iK, Kz, iK) + iK
+        # B_mat = iK·KziBK·iK + iK via triangular SOLVES on the K0zz
+        # Cholesky factor instead of composing the explicit inverse three
+        # times: the explicit composition squares the rounding error of iK
+        # on the (intrinsically near-singular) RBF Nystrom gram, which is
+        # what drove the pure-f32 natural-gradient chain indefinite (CPU
+        # repro: NaN by ~ep75 at canonical scale).  Solves are
+        # backward-stable; mathematically identical.
+        LK = (blk.LK0zz.astype(cdt) if cdt == blk.LK0zz.dtype
+              else jnp.linalg.cholesky(blk.K0zz.astype(cdt)))
+        Y = jax.scipy.linalg.cho_solve((LK, True), Kz)        # iK·Kz
+        eyeM = jnp.broadcast_to(jnp.eye(LK.shape[-1], dtype=cdt), LK.shape)
+        iK_c = jax.scipy.linalg.cho_solve((LK, True), eyeM)
+        B_mat = jax.scipy.linalg.cho_solve(
+            (LK, True), jnp.swapaxes(Y, -1, -2)) + iK_c       # iK·Kzᵀ·iK + iK
+        B_mat = 0.5 * (B_mat + jnp.swapaxes(B_mat, -1, -2))
         if cdt != H.dtype:
             LH_c = jnp.linalg.cholesky(H.astype(cdt))
             iH_c = _chol_inverse(LH_c)
         else:
             iH_c = iH
-        grad_m = -jnp.einsum("lmn,lno->lmo", iK, ng_P1) \
+        grad_m = -jnp.einsum("lmn,lno->lmo", iK_c, ng_P1) \
             + jnp.einsum("lmn,lno->lmo", B_mat, m_c)
         grad_H = 0.5 * (-iH_c + B_mat)
         iH_out = iH_c   # reusable by natural_gradient_update (saves a Cholesky)
@@ -313,13 +331,20 @@ sample_elbo_jit = jax.jit(sample_elbo, static_argnums=(0, 2))
 
 
 @_highest_precision
-def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
+def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None,
+                            jitter: float = 0.0):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137).
 
     Pass the ``iH`` returned by kld_upper_bound to skip recomputing the
     Cholesky inverse of H.  The arithmetic runs in the gradients' dtype
     (float64 when kld_upper_bound was given nat_grad_dtype=float64) and the
-    result is cast back to the state dtype of (m, H)."""
+    result is cast back to the state dtype of (m, H).
+
+    ``jitter``: relative diagonal ridge added to iH_new before its Cholesky
+    (scaled by the mean diagonal).  iH_new is PSD in exact arithmetic
+    (0.99·iH + 0.01·B_mat for lr=0.01, both PSD), but float32 rounding can
+    push small eigenvalues negative; a tiny ridge keeps the factorization
+    alive without visibly perturbing the update."""
     cdt = grad_H.dtype
     m_c, H_c = m.astype(cdt), H.astype(cdt)
     eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=cdt), H.shape)
@@ -327,6 +352,10 @@ def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None):
         LH = jnp.linalg.cholesky(H_c)
         iH = jax.scipy.linalg.cho_solve((LH, True), eye)
     iH_new = iH + lr * (grad_H + jnp.swapaxes(grad_H, -1, -2))
+    if jitter:
+        mean_diag = jnp.mean(jnp.diagonal(iH_new, axis1=-2, axis2=-1),
+                             axis=-1)[:, None, None]
+        iH_new = iH_new + jitter * mean_diag * eye
     LiH = jnp.linalg.cholesky(iH_new)
     H_new = jax.scipy.linalg.cho_solve((LiH, True), eye)
     m_new = jnp.einsum(

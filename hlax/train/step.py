@@ -56,6 +56,11 @@ class TrainConfig:
     # stable — see gp/elbo.py docstring).  Requires x64 enabled; ignored
     # when gp_dtype is already float64.
     nat_grad_f64: bool = True
+    # relative diagonal ridge on iH_new before its Cholesky (see
+    # gp/elbo.py::natural_gradient_update); together with the solve-based
+    # B_mat composition this keeps the PURE-f32 chain stable at canonical
+    # scale, offering a fast path where f64 is expensive
+    nat_grad_jitter: float = 0.0
 
     def __post_init__(self):
         if self.eps is None:
@@ -259,7 +264,8 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
                 jax.lax.stop_gradient(aux["grad_m"]),
                 jax.lax.stop_gradient(aux["grad_H"]),
                 cfg.natural_gradient_lr,
-                iH=jax.lax.stop_gradient(aux["iH"]))
+                iH=jax.lax.stop_gradient(aux["iH"]),
+                jitter=cfg.nat_grad_jitter)
             new = new._replace(m=m_new, H=H_new)
         metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"],
                    "recon": aux["recon"], "miss_recon": aux["miss_recon"]}
