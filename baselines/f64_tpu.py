@@ -2,12 +2,14 @@
 
 The reference's native dtype is float64 everywhere (HLVAE_main.py:158
 ``.double()``).  On TPU, f64 is software-emulated; round 2 additionally hit
-an init-time blocker (flax truncated-normal lowers ``nextafter``, which the
-x64 rewrite cannot legalize on the chip).  Round 3 fixed the blocker by
-initializing on the host CPU backend and transferring
-(hlax/train/step.py::init_train_state); this script demonstrates the fixed
-end-to-end f64 path at canonical scale and records its cost next to the
-shipped f32(+f64 nat-grad chain) configuration.
+TWO compile blockers in the chip's x64 rewrite, both fixed in round 3:
+(1) flax truncated-normal init lowers ``nextafter`` — fixed by initializing
+on the host CPU backend and transferring
+(hlax/train/step.py::init_train_state); (2) max-pool's backward emits
+``select_and_scatter`` — fixed by the reshape-based 2x2 pool
+(hlax/models/hlvae.py::_max_pool_2x2).  This script demonstrates the
+end-to-end f64 conv path at canonical scale and records its cost next to
+the shipped f32 configuration.
 
 Prints one JSON line {"dtype", "epochs", "steps_per_sec", "losses_finite",
 "final_epoch_mean_loss"} and writes baselines/f64_tpu.json.
@@ -43,10 +45,18 @@ def main():
 
     P_SUBJ, T, LATENT, M, S_BATCH = (bench.P_SUBJ, bench.T, bench.LATENT,
                                      bench.M, bench.S_BATCH)
-    out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2, missing=25.0,
-                       datatype_config="D4", seed=0)
-    het = encode_raw(out["data"], gen.types_table("D4"), miss_mask=out["mask"])
-    labels = np.nan_to_num(out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
+    cache = f"/tmp/hlax_bench_hm_d4_p{P_SUBJ}_seed0.npz"   # bench.build's cache
+    if os.path.exists(cache):
+        z = np.load(cache)
+        raw_data, raw_mask, labels = z["data"], z["mask"], z["labels"]
+    else:
+        out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2, missing=25.0,
+                           datatype_config="D4", seed=0)
+        raw_data, raw_mask = out["data"], out["mask"]
+        labels = np.nan_to_num(
+            out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
+        np.savez(cache, data=raw_data, mask=raw_mask, labels=labels)
+    het = encode_raw(raw_data, gen.types_table("D4"), miss_mask=raw_mask)
     ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
 
     spec0, spec1 = build_kernel_specs(

@@ -4,10 +4,10 @@ Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
   1. train steps/sec/chip (canonical config, 300 measured steps = 30
      epochs x 10 steps), and
   2. imputation-eval samples/sec measured on a TRAINED model — after the
-     timing window the same state is trained an extra TRAIN_EPOCHS=100
-     epochs (the bench workload's loss plateau; the full QUALITY.md study
-     converges by ~300-400) so the eval throughput is quoted at a real
-     converged ELBO, not a random init (BASELINE.md "at matched ELBO").
+     timing window the same state is trained an extra TRAIN_EPOCHS=300
+     epochs (the QUALITY.md convergence horizon) so the eval throughput is
+     quoted at a real converged ELBO, not a random init (BASELINE.md
+     "at matched ELBO").
      ``net_loss_at_eval`` is the final epoch's MEAN per-batch net loss —
      the quantity the CLI prints per epoch — on the REAL Health-MNIST data.
 
@@ -45,10 +45,11 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 P_SUBJ, T, LATENT, M, S_BATCH = 200, 20, 32, 120, 20
 EPOCHS_MEASURED = 30     # 10 steps/epoch at canonical scale -> 300 steps
-# extra epochs before the eval measurement: enough to converge the bench
-# workload (loss plateaus ~ep100); kept modest so the driver's bench stays
-# fast even when the tunnel relay is degraded (NOTES.md)
-TRAIN_EPOCHS = 100
+# extra epochs before the eval measurement: the QUALITY.md canonical study
+# converges by ~300-400 epochs; affordable since the natural-gradient chain
+# default flipped to the stable solve-based f32 path (~0.1 s/epoch on-chip
+# vs ~3.9 with the f64 chain — baselines/ab_natgrad_f64.json)
+TRAIN_EPOCHS = 300
 # epochs scanned per dispatch (the CLI's --epochs_per_dispatch): the relay
 # adds 2.6 s PER DISPATCH when degraded, so per-epoch dispatch would measure
 # the relay, not the chip; 10-epoch chunks amortize it 10x while remaining a

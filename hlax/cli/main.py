@@ -56,10 +56,10 @@ def run(opt: dict) -> dict:
         jax.config.update("jax_platforms", opt["device"])
     import jax.numpy as jnp
 
-    # x64 stays enabled even for float32 configs: the natural-gradient
-    # chain runs in float64 (TrainConfig.nat_grad_f64) — pure f32 there is
-    # numerically expansive at scale (see hlax/gp/elbo.py).  All hot-path
-    # arrays are explicitly dtyped, so this does not change the f32 compute.
+    # x64 stays enabled even for float32 configs: the eval-side GP bounds
+    # (DUBO/predict, hlax/eval) compute in float64, and --nat_grad_f64 /
+    # --gp_dtype=float64 need it.  All hot-path arrays are explicitly
+    # dtyped, so this does not change the f32 training compute.
     jax.config.update("jax_enable_x64", True)
 
     from hlax.data.dataset import (load_dataset, subject_batches,
@@ -163,7 +163,7 @@ def run(opt: dict) -> dict:
         natural_gradient_lr=opt.get("natural_gradient_lr", 0.01),
         constrain_scales=opt.get("constrain_scales", False),
         eps=opt.get("eps"), gp_dtype=gp_dtype,
-        nat_grad_f64=opt.get("nat_grad_f64", True),
+        nat_grad_f64=opt.get("nat_grad_f64", False),
         nat_grad_jitter=opt.get("nat_grad_jitter", 0.0))
 
     subjects_per_batch = opt.get("subjects_per_batch", 20)

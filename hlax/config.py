@@ -139,10 +139,12 @@ class ModelArgs:
         add("--seed", type=int, default=0)
         add("--eps", type=float, default=None,
             help="GP jitter (default: 1e-6 for float64, 1e-4 for float32)")
-        add("--nat_grad_f64", type=str2bool, default=True,
-            help="run the closed-form natural-gradient chain in float64 "
-                 "(belt-and-braces default; the solve-based float32 chain "
-                 "is also stable at canonical scale — see hlax/gp/elbo.py)")
+        add("--nat_grad_f64", type=str2bool, default=False,
+            help="run the closed-form natural-gradient chain in float64. "
+                 "Off by default: the solve-based float32 chain is stable "
+                 "at canonical scale (hlax/gp/elbo.py) and f64 is "
+                 "software-emulated on TPU (measured 42x slower per epoch "
+                 "on a v5e — baselines/ab_natgrad_f64.json)")
         add("--nat_grad_jitter", type=float, default=0.0,
             help="relative diagonal ridge on iH before its Cholesky in the "
                  "natural-gradient update (float32-chain safety margin)")

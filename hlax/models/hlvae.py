@@ -62,6 +62,21 @@ def _log_vy_init(vy: float) -> float:
     return math.log(vy - math.exp(lik.MIN_LOG_VY))
 
 
+def _max_pool_2x2(h):
+    """2x2 stride-2 max pool via reshape + max (HLVAE.py:151 MaxPool2d(2,2)).
+
+    Forward-identical to ``nn.max_pool(h, (2, 2), strides=(2, 2))`` for even
+    spatial dims, but lowers to a plain max reduction instead of
+    ``reduce_window`` — whose VJP emits a ``select_and_scatter`` HLO that the
+    TPU x64 rewrite cannot legalize, blocking float64 conv training on the
+    chip.  (Gradient tie-breaking differs on exactly-tied window maxima:
+    reduce-max splits the cotangent across ties where select_and_scatter
+    picks one; ties have measure zero for continuous activations.)"""
+    B, H, W, C = h.shape
+    h = h.reshape(B, H // 2, 2, W // 2, 2, C)
+    return h.max(axis=(2, 4))
+
+
 class _MLP(nn.Module):
     features: Sequence[int]
     dtype: object
@@ -190,9 +205,9 @@ class HLVAE(nn.Module):
             s = cfg.image_side
             img = img.reshape(-1, s, s, 1)
             h = nn.relu(self.conv1(img))
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = _max_pool_2x2(h)
             h = nn.relu(self.conv2(h))
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = _max_pool_2x2(h)
             enc_in = h.reshape(h.shape[0], -1)
         else:
             enc_in = norm_data

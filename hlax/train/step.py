@@ -50,12 +50,13 @@ class TrainConfig:
     # a config switch so the decision stays re-measurable.
     use_pallas_chol: bool = False
     # float64 for the closed-form natural-gradient chain (the [L,M,M]
-    # iK/B_mat/iH compositions + the (m,H) update).  In pure float32 the
-    # composition error makes the (m,H) recursion expansive at canonical
-    # scale (|m| doubles per epoch from ~ep105, then NaN; f64 chain is
-    # stable — see gp/elbo.py docstring).  Requires x64 enabled; ignored
-    # when gp_dtype is already float64.
-    nat_grad_f64: bool = True
+    # iK/B_mat/iH compositions + the (m,H) update).  Off by default: the
+    # solve-based f32 chain (gp/elbo.py) is stable at canonical scale, and
+    # TPUs emulate f64 in software — measured 3.94 s/epoch vs 0.094 with
+    # the f32 chain on a v5e (42x; baselines/ab_natgrad_f64.json).  Turn on
+    # for extra numerical margin on CPU/GPU or ill-conditioned kernels.
+    # Requires x64 enabled; ignored when gp_dtype is already float64.
+    nat_grad_f64: bool = False
     # relative diagonal ridge on iH_new before its Cholesky (see
     # gp/elbo.py::natural_gradient_update); together with the solve-based
     # B_mat composition this keeps the PURE-f32 chain stable at canonical

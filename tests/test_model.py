@@ -164,3 +164,27 @@ def test_single_head_theta_matches_two_pass_reference_routing():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_reshape_max_pool_matches_reduce_window():
+    """_max_pool_2x2 == flax max_pool forward; grads match where window
+    maxima are unique (the reshape form avoids the select_and_scatter HLO
+    that blocks x64 conv compilation on TPU)."""
+    from flax import linen as nn
+    from hlax.models.hlvae import _max_pool_2x2
+
+    x = RNG.normal(0, 1, (3, 36, 36, 7)).astype(np.float32)  # unique a.s.
+    ref = nn.max_pool(jnp.asarray(x), (2, 2), strides=(2, 2))
+    got = _max_pool_2x2(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def s_ref(v):
+        return jnp.sum(jnp.sin(nn.max_pool(v, (2, 2), strides=(2, 2))))
+
+    def s_new(v):
+        return jnp.sum(jnp.sin(_max_pool_2x2(v)))
+
+    g_ref = jax.grad(s_ref)(jnp.asarray(x))
+    g_new = jax.grad(s_new)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-7)
