@@ -164,7 +164,8 @@ def run(opt: dict) -> dict:
         constrain_scales=opt.get("constrain_scales", False),
         eps=opt.get("eps"), gp_dtype=gp_dtype,
         nat_grad_f64=opt.get("nat_grad_f64", False),
-        nat_grad_jitter=opt.get("nat_grad_jitter", 0.0))
+        nat_grad_jitter=opt.get("nat_grad_jitter", 0.0),
+        use_pallas_chol=opt.get("use_pallas_chol", True))
 
     subjects_per_batch = opt.get("subjects_per_batch", 20)
     state = tstep.init_train_state(model, spec0, spec1,

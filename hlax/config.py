@@ -148,6 +148,10 @@ class ModelArgs:
         add("--nat_grad_jitter", type=float, default=0.0,
             help="relative diagonal ridge on iH before its Cholesky in the "
                  "natural-gradient update (float32-chain safety margin)")
+        add("--use_pallas_chol", type=str2bool, default=True,
+            help="Pallas batch-on-lanes Cholesky inside the training KLD "
+                 "bound (30%% faster full step on a v5e in the honest A/B; "
+                 "falls back to XLA on CPU and for float64)")
 
     def parse_options(self, argv=None):
         return vars(self.parser.parse_args(argv))

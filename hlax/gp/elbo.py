@@ -100,9 +100,10 @@ def subject_blocks(
                  + (1.0 - valid)[None, :, :, None])
     B_st = K1_st * vo[None] + eyeT * diag_fill
     if use_pallas_chol:
-        # Pallas batch-on-lanes Cholesky (hlax/ops/linalg_small.py) — wins on
-        # gradient-free paths (prediction / DUBO / eval); on the training
-        # path XLA's native Cholesky + its VJP is faster end-to-end.
+        # Pallas batch-on-lanes Cholesky (hlax/ops/linalg_small.py).  Wins on
+        # the gradient-free paths (prediction / DUBO / eval, 2.4x) AND inside
+        # the training step (honest on-chip A/B: 4.94 vs 7.04 ms full step —
+        # round 2's opposite conclusion was an enqueue-rate timing artifact).
         LB, iLB = chol_inv_small(B_st)
         iB = jnp.einsum("lskt,lsku->lstu", iLB, iLB)
     else:

@@ -44,11 +44,13 @@ class TrainConfig:
     # near-duplicate inducing covariates make Cholesky blow up.
     eps: Optional[float] = None
     gp_dtype: Any = jnp.float32
-    # Pallas batch-on-lanes Cholesky inside the training bound: measured
-    # SLOWER than XLA's Cholesky+VJP in the fused training graph (pack/unpack
-    # transposes + extra launches; A/B in NOTES.md) — off by default, kept as
-    # a config switch so the decision stays re-measurable.
-    use_pallas_chol: bool = False
+    # Pallas batch-on-lanes Cholesky inside the training bound: the honest
+    # (value-fetch-synced) on-chip A/B measures the full train step at
+    # 4.94 ms with it vs 7.04 ms with XLA's Cholesky+VJP — 30% faster, so
+    # on by default.  (Round 2 concluded the opposite from an enqueue-rate
+    # timing; see NOTES.md measurement-honesty rules.)  Falls back to XLA
+    # automatically on CPU and for float64 (hlax/ops/linalg_small.py).
+    use_pallas_chol: bool = True
     # float64 for the closed-form natural-gradient chain (the [L,M,M]
     # iK/B_mat/iH compositions + the (m,H) update).  Off by default: the
     # solve-based f32 chain (gp/elbo.py) is stable at canonical scale, and

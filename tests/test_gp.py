@@ -349,3 +349,38 @@ def test_nat_grad_f64_chain_matches_f64_reference():
                                np.asarray(H64), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m_mix, np.float64),
                                np.asarray(m64), rtol=1e-3, atol=1e-5)
+
+
+def test_kld_pallas_chol_matches_xla_incl_gradients():
+    """The training-path Pallas branch (use_pallas_chol=True, now the
+    default on TPU) must reproduce the XLA branch's bound value AND its
+    gradients wrt kernel params and H.  Runs the kernel in interpret mode
+    on CPU via FORCE_PALLAS."""
+    from hlax.ops import linalg_small as ls
+    inp = _bound_inputs()
+    (spec0, p0, spec1, p1, noise, m, H, z, x_st, valid, mu, log_v) = [
+        jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in inp]
+
+    def bound(p0_, H_, pallas):
+        out, _, _, _ = E.kld_upper_bound(
+            spec0, p0_, spec1, p1, noise, m, H_, z, x_st, valid, mu, log_v,
+            P_tot=10.0, N_tot=30.0, eps=EPS, use_pallas_chol=pallas)
+        return out
+
+    old = ls.FORCE_PALLAS
+    ls.FORCE_PALLAS = True
+    try:
+        v_p, (gp_p, gH_p) = jax.value_and_grad(bound, argnums=(0, 1))(
+            p0, H, True)
+    finally:
+        ls.FORCE_PALLAS = old
+    v_x, (gp_x, gH_x) = jax.value_and_grad(bound, argnums=(0, 1))(p0, H, False)
+
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_p),
+                    jax.tree_util.tree_leaves(gp_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+    sym = lambda A: 0.5 * (A + np.swapaxes(A, -1, -2))
+    np.testing.assert_allclose(sym(np.asarray(gH_p)), sym(np.asarray(gH_x)),
+                               rtol=1e-6, atol=1e-9)
