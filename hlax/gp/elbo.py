@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from hlax.gp.kernels import KernelSpec, kernel_matrix
-from hlax.ops.linalg_small import chol_inv_small
+from hlax.ops.linalg_small import chol_inv_blocked, chol_inv_small
 
 # TPU matmuls default to bfloat16 passes; the GP quadratic forms (entries up
 # to ~1/eps after inverting near-singular grams) lose enough mantissa to make
@@ -91,8 +91,14 @@ def subject_blocks(
     K0xz = K0xz * valid[None, :, :, None]
     K0zz = kernel_matrix(spec0, params0, z, z, x1_batched=True, x2_batched=True)
     K0zz = K0zz + eps * jnp.eye(M, dtype=dt)
-    LK0zz = jnp.linalg.cholesky(K0zz)
-    iK0zz = _chol_inverse(LK0zz)
+    if use_pallas_chol:
+        # blocked Pallas factorization: XLA's [L,M,M] f32 Cholesky alone
+        # costs ~1.7 ms at M=120 on a v5e (latency-bound sequential loop)
+        LK0zz, iLK = chol_inv_blocked(K0zz)
+        iK0zz = jnp.einsum("lkm,lkn->lmn", iLK, iLK)
+    else:
+        LK0zz = jnp.linalg.cholesky(K0zz)
+        iK0zz = _chol_inverse(LK0zz)
 
     K1_st = kernel_matrix(spec1, params1, x_st, x_st) * vo[None]
     eyeT = jnp.eye(T, dtype=dt)
@@ -168,8 +174,12 @@ def kld_upper_bound(
     mu_m = mu_st * v_mask                                # [S, T, L]
     v_m = jnp.exp(log_v_st) * v_mask
 
-    LH = jnp.linalg.cholesky(H)
-    iH = _chol_inverse(LH)
+    if use_pallas_chol:
+        LH, iLH = chol_inv_blocked(H)
+        iH = jnp.einsum("lkm,lkn->lmn", iLH, iLH)
+    else:
+        LH = jnp.linalg.cholesky(H)
+        iH = _chol_inverse(LH)
 
     # A: quadratic fit of K0xz iK0zz m - mu under iB (elbo_functions.py:166-167)
     iKm = jnp.einsum("lmn,lno->lmo", blk.iK0zz, m)       # [L, M, 1]
@@ -253,7 +263,7 @@ def deviance_upper_bound(
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
     W = blk.K0zz + KziBK
     W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
-    LW = jnp.linalg.cholesky(W)
+    LW, iLW = chol_inv_blocked(W)
 
     logDetK0zz = _logdet_from_chol(blk.LK0zz)            # [L]
     logDetB = jnp.sum(_logdet_from_chol(blk.LB), axis=-1)   # [L]
@@ -263,8 +273,8 @@ def deviance_upper_bound(
     iB_m = jnp.einsum("lstu,lsu->lst", blk.iB, mu_m)
     qF1 = jnp.einsum("lst,lst->l", mu_m, iB_m)
     p = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_m)       # [L, M]
-    sol = jax.scipy.linalg.solve_triangular(LW, p[:, :, None], lower=True)
-    qF2 = jnp.sum(sol ** 2, axis=(-1, -2))
+    sol = jnp.einsum("lmn,ln->lm", iLW, p)               # = solve(LW, p)
+    qF2 = jnp.sum(sol ** 2, axis=-1)
     qF = qF1 - qF2
 
     tr = (jnp.sum(blk.iB * blk.K0_st, axis=(-1, -2, -3))
@@ -276,9 +286,8 @@ def deviance_upper_bound(
     tr_iB_D = jnp.einsum("lst,lst->l", diag_iB, v_m)
     G = iB_K0xz * jnp.sqrt(v_m)[:, :, :, None]
     KziBDiBK = jnp.einsum("lstm,lstn->lmn", G, G)
-    tr_W = jnp.sum(jnp.diagonal(
-        jax.scipy.linalg.cho_solve((LW, True), KziBDiBK),
-        axis1=-2, axis2=-1), axis=-1)
+    # tr(iW K) with iW = iLW^T iLW:  sum(iLW K iLW^T diagonal)
+    tr_W = jnp.einsum("lmn,lno,lmo->l", iLW, KziBDiBK, iLW)
     tr_iSigma_D = tr_iB_D - tr_W
 
     dubo = 0.5 * (tr_iSigma_D + qF - N_valid + logDetSigma - logDetD + tr)
@@ -306,7 +315,7 @@ def sample_elbo(
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
     W = blk.K0zz + KziBK
     W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
-    LW = jnp.linalg.cholesky(W)
+    LW, iLW = chol_inv_blocked(W)
 
     logDet = (-_logdet_from_chol(blk.LK0zz)
               + jnp.sum(_logdet_from_chol(blk.LB), axis=-1)
@@ -315,8 +324,8 @@ def sample_elbo(
     iB_y = jnp.einsum("lstu,lsu->lst", blk.iB, y_m)
     qF1 = jnp.einsum("lst,lst->l", y_m, iB_y)
     p = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_y)
-    sol = jax.scipy.linalg.solve_triangular(LW, p[:, :, None], lower=True)
-    qF = qF1 - jnp.sum(sol ** 2, axis=(-1, -2))
+    sol = jnp.einsum("lmn,ln->lm", iLW, p)               # = solve(LW, p)
+    qF = qF1 - jnp.sum(sol ** 2, axis=-1)
 
     tr = (jnp.sum(blk.iB * blk.K0_st, axis=(-1, -2, -3))
           - jnp.sum(KziBK * blk.iK0zz, axis=(-1, -2)))

@@ -293,3 +293,81 @@ def chol_solve_small(l, il, b):
 
 def logdet_from_chol(l):
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1)
+
+
+def _largest_block(m: int, cap: int) -> int:
+    """Largest divisor of m that is <= cap and >= 8 (0 if none)."""
+    for cand in range(min(cap, m), 7, -1):
+        if m % cand == 0:
+            return cand
+    return 0
+
+
+# largest T the Pallas kernel can run with the backward's 10-buffer VMEM
+# working set (keeps fwd+bwd both on the kernel); 24 divides the canonical
+# M=120 into 5 blocks
+MAX_DIAG_BLOCK = 24
+
+
+def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (L, L^{-1}) of SPD blocks a [..., M, M] for M beyond the
+    unrolled kernel's reach (the GP bound's inducing-point matrices, M~120:
+    hlax/gp/elbo.py K0zz/H — XLA's [32,120,120] f32 Cholesky alone costs
+    ~1.7 ms on a v5e, the single most expensive op in the training bound).
+
+    jax-level right-looking block factorization: diagonal blocks go through
+    the Pallas batch-on-lanes kernel (chol_inv_small, fully unrolled in
+    VMEM), off-diagonal panels and Schur updates are batched MXU matmuls,
+    and the inverse is assembled from the small blocks' inverses by the
+    block forward-substitution identity
+        iL[i,k] = -iL[i,i] @ (sum_{k<=j<i} L[i,j] @ iL[j,k]).
+    Mathematically identical to jnp.linalg.cholesky + triangular solve
+    (same factor, same inverse up to f32 rounding); differentiable through
+    the composition (chol_inv_small carries a custom VJP).
+
+    Falls back to XLA whenever the small kernel would (CPU without
+    FORCE_PALLAS, float64 on TPU) or when M has no divisor in [8, 24].
+    """
+    m = a.shape[-1]
+    if m <= MAX_DIAG_BLOCK:
+        return chol_inv_small(a)
+    b = _largest_block(m, MAX_DIAG_BLOCK)
+    probe = jnp.zeros(a.shape[:-2] + (b, b), a.dtype)
+    if b == 0 or _use_fallback(probe, n_bufs=10):
+        l = jnp.linalg.cholesky(a)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), a.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return l, il
+
+    nb = m // b
+    blk = lambda i, j: jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(a, i * b, (i + 1) * b, axis=-2),
+        j * b, (j + 1) * b, axis=-1)
+    T = lambda x: jnp.swapaxes(x, -1, -2)
+
+    with jax.default_matmul_precision("highest"):
+        L = [[None] * nb for _ in range(nb)]
+        iL = [[None] * nb for _ in range(nb)]
+        for k in range(nb):
+            s = blk(k, k)
+            for j in range(k):
+                s = s - jnp.matmul(L[k][j], T(L[k][j]))
+            L[k][k], iL[k][k] = chol_inv_small(s)
+            for i in range(k + 1, nb):
+                p = blk(i, k)
+                for j in range(k):
+                    p = p - jnp.matmul(L[i][j], T(L[k][j]))
+                L[i][k] = jnp.matmul(p, T(iL[k][k]))
+        for k in range(nb):
+            for i in range(k + 1, nb):
+                acc = jnp.matmul(L[i][k], iL[k][k])
+                for j in range(k + 1, i):
+                    acc = acc + jnp.matmul(L[i][j], iL[j][k])
+                iL[i][k] = -jnp.matmul(iL[i][i], acc)
+
+    zero = jnp.zeros_like(L[0][0])
+    rows = lambda B: jnp.concatenate(
+        [jnp.concatenate([B[i][j] if j <= i else zero
+                          for j in range(nb)], axis=-1) for i in range(nb)],
+        axis=-2)
+    return rows(L), rows(iL)

@@ -96,3 +96,58 @@ def test_fallback_large_t():
     np.testing.assert_allclose(np.asarray(l),
                                np.asarray(jnp.linalg.cholesky(a)),
                                rtol=1e-9, atol=1e-10)
+
+
+def _spd_b(rng, shape, m):
+    a = rng.normal(size=shape + (m, m))
+    return (a @ np.swapaxes(a, -1, -2) + m * np.eye(m)).astype(np.float32)
+
+
+def test_blocked_matches_numpy():
+    """chol_inv_blocked == numpy Cholesky / inverse factor for M=120 (5
+    blocks of 24, the canonical inducing-point size), M=48 (2 blocks) and a
+    non-blockable prime M=127 (XLA fallback)."""
+    rng = np.random.default_rng(0)
+    for m in (120, 48, 127):
+        a = _spd_b(rng, (3,), m)
+        l, il = ls.chol_inv_blocked(jnp.asarray(a))
+        want = np.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(l), want, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(il) @ want, np.broadcast_to(np.eye(m), a.shape),
+            atol=5e-3)
+
+
+def test_blocked_gradient_matches_xla():
+    """Autodiff through the blocked composition equals the XLA
+    cholesky+solve path's gradient (symmetrized)."""
+    rng = np.random.default_rng(1)
+    m = 48
+    a = jnp.asarray(_spd_b(rng, (2,), m))
+    wl = jnp.asarray(rng.normal(size=(2, m, m)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(size=(2, m, m)).astype(np.float32))
+
+    def f_blocked(x):
+        l, il = ls.chol_inv_blocked(x)
+        return jnp.sum(l * wl) + jnp.sum(il * wi)
+
+    def f_xla(x):
+        l = jnp.linalg.cholesky(x)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=x.dtype), x.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return jnp.sum(l * wl) + jnp.sum(il * wi)
+
+    ga = jax.grad(f_blocked)(a)
+    gb = jax.grad(f_xla)(a)
+    sym = lambda g: np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2)
+    np.testing.assert_allclose(sym(ga), sym(gb), rtol=5e-3, atol=5e-3)
+
+
+def test_blocked_small_m_delegates():
+    """M <= MAX_DIAG_BLOCK routes to chol_inv_small directly."""
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(_spd_b(rng, (4,), 16))
+    l1, il1 = ls.chol_inv_blocked(a)
+    l2, il2 = ls.chol_inv_small(a)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(il1), np.asarray(il2))
