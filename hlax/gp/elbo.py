@@ -359,15 +359,19 @@ def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None,
     m_c, H_c = m.astype(cdt), H.astype(cdt)
     eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=cdt), H.shape)
     if iH is None:
-        LH = jnp.linalg.cholesky(H_c)
-        iH = jax.scipy.linalg.cho_solve((LH, True), eye)
+        _, iLH = chol_inv_blocked(H_c)
+        iH = jnp.einsum("lkm,lkn->lmn", iLH, iLH)
     iH_new = iH + lr * (grad_H + jnp.swapaxes(grad_H, -1, -2))
     if jitter:
         mean_diag = jnp.mean(jnp.diagonal(iH_new, axis1=-2, axis2=-1),
                              axis=-1)[:, None, None]
         iH_new = iH_new + jitter * mean_diag * eye
-    LiH = jnp.linalg.cholesky(iH_new)
-    H_new = jax.scipy.linalg.cho_solve((LiH, True), eye)
+    # inverse via the blocked Pallas factorization (self-gating; this is the
+    # gradient-free (m, H) update, so only the forward kernel runs) — the
+    # composition iL^T iL equals cho_solve-against-eye's two triangular
+    # solves up to rounding of the same order
+    _, iLiH = chol_inv_blocked(iH_new)
+    H_new = jnp.einsum("lkm,lkn->lmn", iLiH, iLiH)
     m_new = jnp.einsum(
         "lmn,lno->lmo", H_new,
         jnp.einsum("lmn,lno->lmo", iH, m_c)

@@ -303,9 +303,12 @@ def _largest_block(m: int, cap: int) -> int:
     return 0
 
 
-# largest T the Pallas kernel can run with the backward's 10-buffer VMEM
-# working set (keeps fwd+bwd both on the kernel); 24 divides the canonical
-# M=120 into 5 blocks
+# largest diagonal-block T for the blocked factorization: 24 divides the
+# canonical M=120 into 5 blocks and fits the FORWARD kernel's 5-buffer VMEM
+# working set (tile 8).  The per-block custom VJP notices that the
+# backward's 10-buffer set does NOT fit at T=24 and automatically uses the
+# matmul-only reference pullback (_bwd_reference) — no XLA Cholesky or
+# triangular-solve custom calls appear on either pass.
 MAX_DIAG_BLOCK = 24
 
 
@@ -333,7 +336,7 @@ def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return chol_inv_small(a)
     b = _largest_block(m, MAX_DIAG_BLOCK)
     probe = jnp.zeros(a.shape[:-2] + (b, b), a.dtype)
-    if b == 0 or _use_fallback(probe, n_bufs=10):
+    if b == 0 or _use_fallback(probe, n_bufs=5):
         l = jnp.linalg.cholesky(a)
         eye = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), a.shape)
         il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
