@@ -74,11 +74,17 @@ def subject_blocks(
     noise, z, x_st, valid, eps,
     with_K0st: bool = True,
     use_pallas_chol: bool = False,
-) -> SubjectBlocks:
+    extra_spd=None,
+):
     """Build the kernel blocks shared by the bounds and the predictor.
 
     x_st [S, T, Q] padded covariates, valid [S, T] 0/1, z [L, M, Q],
     noise [L] GP observation noise.
+
+    ``extra_spd`` [L, M, M]: an additional SPD batch (the bound's H) to
+    factorize STACKED with K0zz in one blocked-kernel pass — halves the
+    per-step Pallas invocation count versus factorizing them separately.
+    When given, returns ``(SubjectBlocks, (L_extra, iL_extra))``.
     """
     L = z.shape[0]
     M = z.shape[1]
@@ -91,14 +97,26 @@ def subject_blocks(
     K0xz = K0xz * valid[None, :, :, None]
     K0zz = kernel_matrix(spec0, params0, z, z, x1_batched=True, x2_batched=True)
     K0zz = K0zz + eps * jnp.eye(M, dtype=dt)
+    extra_fact = None
     if use_pallas_chol:
         # blocked Pallas factorization: XLA's [L,M,M] f32 Cholesky alone
         # costs ~1.7 ms at M=120 on a v5e (latency-bound sequential loop)
-        LK0zz, iLK = chol_inv_blocked(K0zz)
+        if extra_spd is not None:
+            Ls, iLs = chol_inv_blocked(
+                jnp.concatenate([K0zz, extra_spd.astype(dt)], axis=0))
+            LK0zz, iLK = Ls[:L], iLs[:L]
+            extra_fact = (Ls[L:], iLs[L:])
+        else:
+            LK0zz, iLK = chol_inv_blocked(K0zz)
         iK0zz = jnp.einsum("lkm,lkn->lmn", iLK, iLK)
     else:
         LK0zz = jnp.linalg.cholesky(K0zz)
         iK0zz = _chol_inverse(LK0zz)
+        if extra_spd is not None:
+            LEx = jnp.linalg.cholesky(extra_spd.astype(dt))
+            eyeM = jnp.broadcast_to(jnp.eye(M, dtype=dt), LEx.shape)
+            iLEx = jax.scipy.linalg.solve_triangular(LEx, eyeM, lower=True)
+            extra_fact = (LEx, iLEx)
 
     K1_st = kernel_matrix(spec1, params1, x_st, x_st) * vo[None]
     eyeT = jnp.eye(T, dtype=dt)
@@ -120,7 +138,8 @@ def subject_blocks(
         K0_st = kernel_matrix(spec0, params0, x_st, x_st) * vo[None]
     else:
         K0_st = jnp.zeros((L, 0, 0, 0), dt)
-    return SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB)
+    blocks = SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB)
+    return blocks if extra_spd is None else (blocks, extra_fact)
 
 
 @_highest_precision
@@ -164,8 +183,13 @@ def kld_upper_bound(
     Ldim = z.shape[0]
     M = z.shape[1]
 
-    blk = subject_blocks(spec0, params0, spec1, params1, noise, z, x_st,
-                         valid, eps, use_pallas_chol=use_pallas_chol)
+    # H is factorized STACKED with K0zz inside subject_blocks (one blocked
+    # Pallas pass for both [L, M, M] batches)
+    blk, (LH, iLH) = subject_blocks(spec0, params0, spec1, params1, noise,
+                                    z, x_st, valid, eps,
+                                    use_pallas_chol=use_pallas_chol,
+                                    extra_spd=H)
+    iH = jnp.einsum("lkm,lkn->lmn", iLH, iLH)
 
     # number of real subjects in the batch (all-padding subjects don't count)
     P_batch = jnp.sum(jnp.any(valid > 0, axis=1).astype(x_st.dtype))
@@ -173,13 +197,6 @@ def kld_upper_bound(
     v_mask = valid[:, :, None]
     mu_m = mu_st * v_mask                                # [S, T, L]
     v_m = jnp.exp(log_v_st) * v_mask
-
-    if use_pallas_chol:
-        LH, iLH = chol_inv_blocked(H)
-        iH = jnp.einsum("lkm,lkn->lmn", iLH, iLH)
-    else:
-        LH = jnp.linalg.cholesky(H)
-        iH = _chol_inverse(LH)
 
     # A: quadratic fit of K0xz iK0zz m - mu under iB (elbo_functions.py:166-167)
     iKm = jnp.einsum("lmn,lno->lmo", blk.iK0zz, m)       # [L, M, 1]
