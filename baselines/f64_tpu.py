@@ -34,49 +34,15 @@ def main():
     import numpy as np
 
     import bench
-    from hlax.data import generate as gen
-    from hlax.data.reader import encode_raw
-    from hlax.data.dataset import (HEALTH_MNIST_LABEL_ORDER,
-                                   LongitudinalDataset, subject_batches,
-                                   stage_dataset, epoch_subject_batches)
-    from hlax.gp.kernels import build_kernel_specs
-    from hlax.models import HLVAE, HLVAEConfig
-    from hlax.train import step as tstep
+    from hlax.data.dataset import epoch_subject_batches
 
-    P_SUBJ, T, LATENT, M, S_BATCH = (bench.P_SUBJ, bench.T, bench.LATENT,
-                                     bench.M, bench.S_BATCH)
-    cache = f"/tmp/hlax_bench_hm_d4_p{P_SUBJ}_seed0.npz"   # bench.build's cache
-    if os.path.exists(cache):
-        z = np.load(cache)
-        raw_data, raw_mask, labels = z["data"], z["mask"], z["labels"]
-    else:
-        out = gen.generate(num_3=P_SUBJ // 2, num_6=P_SUBJ // 2, missing=25.0,
-                           datatype_config="D4", seed=0)
-        raw_data, raw_mask = out["data"], out["mask"]
-        labels = np.nan_to_num(
-            out["labels"][:, np.array(HEALTH_MNIST_LABEL_ORDER)])
-        np.savez(cache, data=raw_data, mask=raw_mask, labels=labels)
-    het = encode_raw(raw_data, gen.types_table("D4"), miss_mask=raw_mask)
-    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2, conv=True)
-
-    spec0, spec1 = build_kernel_specs(
-        cat_kernel=[2], bin_kernel=[], sqexp_kernel=[0],
-        cat_int_kernel=[{"cont_covariate": 0, "cat_covariate": 2},
-                        {"cont_covariate": 0, "cat_covariate": 3},
-                        {"cont_covariate": 1, "cat_covariate": 4}],
-        bin_int_kernel=[], covariate_missing_val=[], id_covariate=2)
-    cfg = tstep.TrainConfig(latent_dim=LATENT, M=M, P_tot=float(P_SUBJ),
-                            N_tot=float(len(ds)), id_covariate=2,
-                            natural_gradient=True, constrain_scales=True,
-                            gp_dtype=jnp.float64)      # eps -> 1e-6 (ref value)
-    model = HLVAE(HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,),
-                              y_dim=5, conv=True, dtype=jnp.float64))
-    state = tstep.init_train_state(model, spec0, spec1,
-                                   next(subject_batches(ds, S_BATCH)), cfg,
-                                   seed=0)
-    epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg),
-                       donate_argnums=0)
-    staged = stage_dataset(ds, jnp.float64)
+    P_SUBJ, S_BATCH = bench.P_SUBJ, bench.S_BATCH
+    # the canonical bench workload at the reference's native dtype (eps ->
+    # 1e-6, the reference value, via TrainConfig's dtype-aware default);
+    # data/model/spec assembly is SHARED with bench.build so this run can
+    # never desynchronize from the headline bench
+    epoch_fn, state, staged, model, het, ds = bench.build(
+        model_dtype=jnp.float64, gp_dtype=jnp.float64)
     rng = np.random.default_rng(0)
     nb = (P_SUBJ + S_BATCH - 1) // S_BATCH
 

@@ -43,14 +43,13 @@ def main():
     import numpy as np
 
     import bench
-    from hlax.data.dataset import epoch_subject_batches_mesh
+    from hlax.data.dataset import epoch_subject_batches
 
     epoch_fn, state, staged, model, het, ds = bench.build()
     nb = (bench.P_SUBJ + bench.S_BATCH - 1) // bench.S_BATCH
     rng = np.random.default_rng(0)
 
     def idx_mat():
-        from hlax.data.dataset import epoch_subject_batches
         return jnp.asarray(np.stack(list(
             epoch_subject_batches(ds.P, bench.S_BATCH, rng))))
 
@@ -71,7 +70,6 @@ def main():
     # value-fetch sync (np.asarray — block_until_ready through the axon
     # relay can return early; see bench.py)
     def idx_chunk(k=bench.CHUNK):
-        from hlax.data.dataset import epoch_subject_batches
         mats = [np.stack(list(epoch_subject_batches(ds.P, bench.S_BATCH,
                                                     rng)))
                 for _ in range(k)]
@@ -105,8 +103,9 @@ def main():
         "mfu_vs_bf16_peak": (round(achieved_tflops / peaks["bf16"], 4)
                              if peaks else None),
         "notes": "flops from XLA cost_analysis of the compiled whole-epoch "
-                 "program / steps-per-epoch; steps/sec measured end-to-end "
-                 "through the device link",
+                 "program, which counts the lax.scan body ONCE, so the "
+                 "reported number IS the per-step count (no division); "
+                 "steps/sec measured end-to-end through the device link",
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "flops.json")

@@ -73,8 +73,8 @@ print("PROBE_OK", round(t1 - t0, 2), round(time.perf_counter() - t1, 2))
 """
 
 
-def wait_healthy_device_link(attempts: int = 10, probe_timeout: float = 150.0,
-                             retry_sleep: float = 90.0) -> None:
+def wait_healthy_device_link(attempts: int = 8, probe_timeout: float = 120.0,
+                             retry_sleep: float = 30.0) -> None:
     """Gate the measurement on a healthy device link.
 
     This environment reaches its TPU through a remote relay that can wedge
@@ -83,6 +83,9 @@ def wait_healthy_device_link(attempts: int = 10, probe_timeout: float = 150.0,
     measures the relay, not the chip.  Probe with SHORT-LIVED subprocesses
     (a held client connection from a wedged process blocks the relay's own
     recovery) and start measuring only once a probe round-trips promptly.
+    Healthy means the probe completes AND its cached-program value fetch
+    round-trips fast (the degraded-but-alive relay mode still answers, just
+    at ~2.6 s/trip — completing inside the timeout is not enough).
     Proceeds after ``attempts`` regardless — the gate delays, never blocks.
     On a directly-attached device the first probe passes instantly.
     """
@@ -94,11 +97,15 @@ def wait_healthy_device_link(attempts: int = 10, probe_timeout: float = 150.0,
             r = subprocess.run([sys.executable, "-c", _PROBE],
                                capture_output=True, text=True,
                                timeout=probe_timeout)
-            if r.returncode == 0 and "PROBE_OK" in r.stdout:
-                dt = time.perf_counter() - t0
-                print(f"# device link healthy (probe {dt:.1f}s): {r.stdout.strip().splitlines()[-1]}",
-                      file=sys.stderr, flush=True)
-                return
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith("PROBE_OK")), None)
+            if r.returncode == 0 and line:
+                cached_fetch = float(line.split()[-1])
+                if cached_fetch < 1.0:
+                    dt = time.perf_counter() - t0
+                    print(f"# device link healthy (probe {dt:.1f}s): {line}",
+                          file=sys.stderr, flush=True)
+                    return
         except subprocess.TimeoutExpired:
             pass
         print(f"# device link degraded (probe attempt {i + 1}/{attempts}); "
@@ -108,7 +115,10 @@ def wait_healthy_device_link(attempts: int = 10, probe_timeout: float = 150.0,
           file=sys.stderr, flush=True)
 
 
-def build():
+def build(model_dtype=None, gp_dtype=None):
+    """Canonical-config workload.  ``model_dtype``/``gp_dtype`` default to
+    the shipped float32 configuration; baselines/f64_tpu.py passes float64
+    for the reference-native-dtype demonstration run."""
     import jax
     jax.config.update("jax_enable_x64", True)   # f64 natural-gradient chain
     # persistent compilation cache: compiles through a degraded relay take
@@ -155,12 +165,14 @@ def build():
                         {"cont_covariate": 0, "cat_covariate": 3},
                         {"cont_covariate": 1, "cat_covariate": 4}],
         bin_int_kernel=[], covariate_missing_val=[], id_covariate=2)
+    mdt = model_dtype or jnp.float32
+    gdt = gp_dtype or jnp.float32
     cfg = tstep.TrainConfig(latent_dim=LATENT, M=M, P_tot=float(P_SUBJ),
                             N_tot=float(n), id_covariate=2,
                             natural_gradient=True, constrain_scales=True,
-                            gp_dtype=jnp.float32)
+                            gp_dtype=gdt)
     mcfg = HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,), y_dim=5,
-                       conv=True, dtype=jnp.float32)
+                       conv=True, dtype=mdt)
     model = HLVAE(mcfg)
     state = tstep.init_train_state(model, spec0, spec1,
                                    next(subject_batches(ds, S_BATCH)), cfg,
@@ -169,7 +181,7 @@ def build():
     # batches, ONE dispatch per epoch (hlax/train/step.py make_train_epoch)
     epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg),
                        donate_argnums=0)
-    staged = stage_dataset(ds, jnp.float32)
+    staged = stage_dataset(ds, mdt)
     return epoch_fn, state, staged, model, het, ds
 
 

@@ -180,14 +180,22 @@ def run(opt: dict) -> dict:
     # warm start (HLVAE_main.py:163-167, 252-269)
     # gp_model_folder is save_path-relative, concatenated like the reference
     # (HLVAE_main.py:46: gp_model_folder = save_path + gp_model_folder); the
-    # canonical config's '/' therefore means "save_path itself".  An absolute
-    # path is honored as-is (string concatenation would silently mangle it).
+    # canonical config's '/' therefore means "save_path itself".  Because a
+    # reference-style value ALSO starts with '/', a leading slash is
+    # ambiguous: try the machine-absolute location first (concatenation
+    # would silently mangle a genuinely absolute path), then fall back to
+    # the reference's concatenation, so neither style silently loses its
+    # checkpoint.
     gp_folder = opt.get("gp_model_folder") or "/"
-    warm_base = gp_folder if gp_folder != "/" and os.path.isabs(gp_folder) \
-        else save_path + gp_folder
-    restored = ckpt.restore(warm_base, state,
-                            name=ckpt.EARLY_BEST_NAME
-                            if opt.get("early_stopping") else ckpt.FINAL_NAME)
+    candidates = ([gp_folder] if gp_folder != "/" and os.path.isabs(gp_folder)
+                  else []) + [save_path + gp_folder]
+    restored = None
+    for warm_base in candidates:
+        restored = ckpt.restore(warm_base, state,
+                                name=ckpt.EARLY_BEST_NAME
+                                if opt.get("early_stopping") else ckpt.FINAL_NAME)
+        if restored is not None:
+            break
     if restored is not None:
         state = restored
         print("Loaded pre-trained values.")
@@ -226,7 +234,9 @@ def run(opt: dict) -> dict:
         # single-device epoch scan over on-device gathered batches (~7x
         # steps/sec through a remote-device link vs per-step dispatch)
         staged = stage_dataset(dataset, model_dtype)
-        epoch_fn = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg))
+        epoch_fn = jax.jit(tstep.make_train_epoch(
+            model, spec0, spec1, cfg,
+            unroll=max(1, opt.get("scan_unroll") or 1)))
         epoch_idx = lambda rng: np.stack(list(
             epoch_subject_batches(dataset.P, subjects_per_batch, rng)))
     epochs = opt.get("epochs", 0)

@@ -136,6 +136,10 @@ class ModelArgs:
                  "across a validation/save boundary); amortizes dispatch "
                  "latency through remote-device links, console output "
                  "unchanged")
+        add("--scan_unroll", type=int, default=1,
+            help="lax.scan unroll factor for the epoch program; >1 removes "
+                 "per-trip round-trip cost on relay-attached devices at the "
+                 "price of ~unroll x program size")
         add("--seed", type=int, default=0)
         add("--eps", type=float, default=None,
             help="GP jitter (default: 1e-6 for float64, 1e-4 for float32)")

@@ -244,8 +244,12 @@ def kld_upper_bound(
         LK = (blk.LK0zz.astype(cdt) if cdt == blk.LK0zz.dtype
               else jnp.linalg.cholesky(blk.K0zz.astype(cdt)))
         Y = jax.scipy.linalg.cho_solve((LK, True), Kz)        # iK·Kz
-        eyeM = jnp.broadcast_to(jnp.eye(LK.shape[-1], dtype=cdt), LK.shape)
-        iK_c = jax.scipy.linalg.cho_solve((LK, True), eyeM)
+        if cdt == blk.LK0zz.dtype:
+            iK_c = blk.iK0zz          # already built by subject_blocks
+        else:
+            eyeM = jnp.broadcast_to(jnp.eye(LK.shape[-1], dtype=cdt),
+                                    LK.shape)
+            iK_c = jax.scipy.linalg.cho_solve((LK, True), eyeM)
         B_mat = jax.scipy.linalg.cho_solve(
             (LK, True), jnp.swapaxes(Y, -1, -2)) + iK_c       # iK·Kzᵀ·iK + iK
         B_mat = 0.5 * (B_mat + jnp.swapaxes(B_mat, -1, -2))

@@ -125,9 +125,25 @@ def init_train_state(
         # a ``nextafter`` that XLA's x64 rewrite cannot legalize on the
         # chip — run the init on the host CPU backend and transfer (the
         # reference's native dtype, HLVAE_main.py:158 ``.double()``)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            vae = _init_vae()
-        vae = jax.device_put(vae, jax.devices()[0])
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            # no CPU backend (e.g. --device=tpu pins jax_platforms): draw
+            # the init in float32 on-device and widen — same distributions
+            # up to f32 rounding of the draw, and it avoids the nextafter
+            # lowering because the RNG runs in f32
+            f32_model = HLVAE(dataclasses.replace(model.cfg,
+                                                  dtype=jnp.float32))
+            data = jnp.asarray(example_batch["data"], jnp.float32)
+            mask = jnp.asarray(example_batch["mask"], jnp.float32)
+            tmask = jnp.asarray(example_batch["theta_mask"], jnp.float32)
+            vae32 = f32_model.init(k_vae, data, mask, tmask, k_vae)
+            vae = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float64), vae32)
+        else:
+            with jax.default_device(cpu_dev):
+                vae = _init_vae()
+            vae = jax.device_put(vae, jax.devices()[0])
     else:
         vae = _init_vae()
 
@@ -315,9 +331,16 @@ def make_train_epoch_mesh(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     per-shard subject indices — the scan-body gather is a vmap over the
     device axis, so every shard gathers from its own block and the SPMD
     partitioner adds no collectives for the data movement.  Jit through
-    ``hlax.parallel.mesh.jit_train_epoch`` to pin the shardings."""
+    ``hlax.parallel.mesh.jit_train_epoch`` to pin the shardings.
+
+    The Pallas Cholesky kernels are forced OFF on this path: GSPMD cannot
+    auto-partition Mosaic custom calls, so a latent-sharded [L, M, M]
+    operand reaching a pallas_call would fail to partition (or silently
+    replicate).  XLA's native Cholesky partitions cleanly; single-device
+    epochs keep the Pallas default."""
     from hlax.data.dataset import gather_batch_mesh
 
+    cfg = dataclasses.replace(cfg, use_pallas_chol=False)
     step = make_train_step(model, spec0, spec1, cfg)
 
     def epoch(state: TrainState, staged, idx_batches):
