@@ -33,6 +33,23 @@ def _resolve_dtype(name):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def warm_start_candidates(gp_folder: str, save_path: str) -> list:
+    """Checkpoint locations to probe for a warm start, in order.
+
+    The reference concatenates save_path + gp_model_folder
+    (HLVAE_main.py:46), so reference-style values start with '/'; a
+    genuinely machine-absolute path is therefore ambiguous.  Probe the
+    absolute location first (concatenation would mangle it), then the
+    reference's concatenation, so neither style silently loses its
+    checkpoint."""
+    gp_folder = gp_folder or "/"
+    cands = []
+    if gp_folder != "/" and os.path.isabs(gp_folder):
+        cands.append(gp_folder)
+    cands.append(save_path + gp_folder)
+    return cands
+
+
 def _memory_dbg(enabled: bool, phase: str) -> None:
     """Phase-wise peak-memory prints (HLVAE_main.py:281-283, 303-305,
     327-329, 410-412).  The reference resets the CUDA peak counter after
@@ -177,20 +194,11 @@ def run(opt: dict) -> dict:
                    jax.tree_util.tree_leaves(state.vae))
     print(f"Total Parameter Number is: {n_params}")
 
-    # warm start (HLVAE_main.py:163-167, 252-269)
-    # gp_model_folder is save_path-relative, concatenated like the reference
-    # (HLVAE_main.py:46: gp_model_folder = save_path + gp_model_folder); the
-    # canonical config's '/' therefore means "save_path itself".  Because a
-    # reference-style value ALSO starts with '/', a leading slash is
-    # ambiguous: try the machine-absolute location first (concatenation
-    # would silently mangle a genuinely absolute path), then fall back to
-    # the reference's concatenation, so neither style silently loses its
-    # checkpoint.
-    gp_folder = opt.get("gp_model_folder") or "/"
-    candidates = ([gp_folder] if gp_folder != "/" and os.path.isabs(gp_folder)
-                  else []) + [save_path + gp_folder]
+    # warm start (HLVAE_main.py:163-167, 252-269); the canonical config's
+    # '/' means "save_path itself" (see warm_start_candidates)
     restored = None
-    for warm_base in candidates:
+    for warm_base in warm_start_candidates(opt.get("gp_model_folder"),
+                                           save_path):
         restored = ckpt.restore(warm_base, state,
                                 name=ckpt.EARLY_BEST_NAME
                                 if opt.get("early_stopping") else ckpt.FINAL_NAME)

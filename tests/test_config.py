@@ -48,3 +48,18 @@ def test_canonical_config_file_parses():
     opt = ModelArgs().parse_options(["--f=configs/hlvae_config_file.txt"])
     assert opt["latent_dim"] == 32 and opt["P"] == 200 and opt["T"] == 20
     assert opt["cat_int_kernel"][2] == {"cont_covariate": 1, "cat_covariate": 4}
+
+
+def test_warm_start_candidates():
+    """Reference semantics (save_path + gp_model_folder, HLVAE_main.py:46)
+    AND machine-absolute paths both stay reachable (round-2 ADVICE)."""
+    from hlax.cli.main import warm_start_candidates
+    # canonical config's '/': save_path itself, nothing else
+    assert warm_start_candidates("/", "/tmp/run") == ["/tmp/run/"]
+    assert warm_start_candidates("", "/tmp/run") == ["/tmp/run/"]
+    # reference-style subfolder (leading slash): absolute probed first,
+    # then the reference concatenation
+    assert warm_start_candidates("/pre/", "/tmp/run") == [
+        "/pre/", "/tmp/run/pre/"]
+    # relative value: concatenation only
+    assert warm_start_candidates("pre/", "/tmp/run") == ["/tmp/runpre/"]
