@@ -19,3 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: the suite's runtime on this 1-core host is
+# dominated by XLA re-compiles of unchanged programs; warm re-runs drop
+# several-fold.  Keyed by jaxlib version + flags, so stale hits are not a
+# correctness concern.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HLAX_TEST_CACHE", "/tmp/hlax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,6 +1,7 @@
 """Pallas batched small Cholesky+inverse vs jnp.linalg (interpret mode on CPU)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from hlax.ops import linalg_small as ls
@@ -103,6 +104,7 @@ def _spd_b(rng, shape, m):
     return (a @ np.swapaxes(a, -1, -2) + m * np.eye(m)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_blocked_matches_numpy():
     """chol_inv_blocked == numpy Cholesky / inverse factor for M=120 (5
     blocks of 24, the canonical inducing-point size), M=48 (2 blocks) and a

@@ -6,6 +6,7 @@ and the same updated state as single-device execution.
 """
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from hlax.data.reader import encode_raw
@@ -43,6 +44,7 @@ def _setup(S=8, T=4, L=4, M=6):
     return step, state, batch
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded():
     assert len(jax.devices()) >= 8
     step, state, batch = _setup()
@@ -200,6 +202,7 @@ def test_mesh_epoch_scan_matches_single_device():
                                    rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mesh_epoch_uneven_subjects():
     """Mesh epoch path with P=7 subjects on a 4-device data axis (shards own
     2/2/2/1 subjects; padded slots everywhere) matches single-device

@@ -193,6 +193,7 @@ def test_epoch_scan_matches_per_step():
                                    rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_matches_per_epoch():
     """One [2*nb] chunked dispatch (--epochs_per_dispatch) must equal two
     sequential [nb] epoch dispatches bit-for-bit (same scan body, same
