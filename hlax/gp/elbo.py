@@ -363,7 +363,8 @@ sample_elbo_jit = jax.jit(sample_elbo, static_argnums=(0, 2))
 
 @_highest_precision
 def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None,
-                            jitter: float = 0.0):
+                            jitter: float = 0.0,
+                            use_pallas_chol: bool = True):
     """Closed-form natural-gradient step on (m, H) (training.py:130-137).
 
     Pass the ``iH`` returned by kld_upper_bound to skip recomputing the
@@ -379,20 +380,27 @@ def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None,
     cdt = grad_H.dtype
     m_c, H_c = m.astype(cdt), H.astype(cdt)
     eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=cdt), H.shape)
+
+    def spd_inverse(A):
+        # Pallas blocked factorization when allowed (self-gating; this is
+        # the gradient-free (m, H) update, so only the forward kernel
+        # runs) — iL^T iL equals cho_solve-against-eye's two triangular
+        # solves up to rounding of the same order.  use_pallas_chol=False
+        # (the mesh training path — GSPMD cannot partition Mosaic custom
+        # calls) takes the pure-XLA route.
+        if use_pallas_chol:
+            _, iLA = chol_inv_blocked(A)
+            return jnp.einsum("lkm,lkn->lmn", iLA, iLA)
+        return _chol_inverse(jnp.linalg.cholesky(A))
+
     if iH is None:
-        _, iLH = chol_inv_blocked(H_c)
-        iH = jnp.einsum("lkm,lkn->lmn", iLH, iLH)
+        iH = spd_inverse(H_c)
     iH_new = iH + lr * (grad_H + jnp.swapaxes(grad_H, -1, -2))
     if jitter:
         mean_diag = jnp.mean(jnp.diagonal(iH_new, axis1=-2, axis2=-1),
                              axis=-1)[:, None, None]
         iH_new = iH_new + jitter * mean_diag * eye
-    # inverse via the blocked Pallas factorization (self-gating; this is the
-    # gradient-free (m, H) update, so only the forward kernel runs) — the
-    # composition iL^T iL equals cho_solve-against-eye's two triangular
-    # solves up to rounding of the same order
-    _, iLiH = chol_inv_blocked(iH_new)
-    H_new = jnp.einsum("lkm,lkn->lmn", iLiH, iLiH)
+    H_new = spd_inverse(iH_new)
     m_new = jnp.einsum(
         "lmn,lno->lmo", H_new,
         jnp.einsum("lmn,lno->lmo", iH, m_c)

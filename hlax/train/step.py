@@ -284,7 +284,8 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
                 jax.lax.stop_gradient(aux["grad_H"]),
                 cfg.natural_gradient_lr,
                 iH=jax.lax.stop_gradient(aux["iH"]),
-                jitter=cfg.nat_grad_jitter)
+                jitter=cfg.nat_grad_jitter,
+                use_pallas_chol=cfg.use_pallas_chol)
             new = new._replace(m=m_new, H=H_new)
         metrics = {"loss": loss, "nll": aux["nll"], "kld": aux["kld"],
                    "recon": aux["recon"], "miss_recon": aux["miss_recon"]}

@@ -269,3 +269,59 @@ def test_mesh_epoch_uneven_subjects():
                                                           rng=None))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_mesh_epoch_never_traces_pallas():
+    """GSPMD cannot partition Mosaic custom calls, so make_train_epoch_mesh
+    must force the XLA Cholesky even when the Pallas kernels are available
+    (use_pallas_chol default True); the single-device epoch keeps them."""
+    from hlax.data.dataset import (stage_dataset, stage_dataset_mesh,
+                                   epoch_subject_batches_mesh)
+    from hlax.data.reader import encode_raw
+    from hlax.ops import linalg_small as ls
+
+    rng = np.random.default_rng(2)
+    types = [{"type": "real", "dim": 1, "nclass": 1}]
+    S, T = 8, 4
+    n = S * T
+    raw = rng.normal(0, 1, (n, 1))
+    het = encode_raw(raw, types, miss_mask=np.ones((n, 1)))
+    labels = np.zeros((n, 3))
+    labels[:, 0] = np.tile(np.arange(T), S)
+    labels[:, 2] = np.repeat(np.arange(S), T)
+    ds = LongitudinalDataset(het=het, labels=labels, id_covariate=2,
+                             conv=False)
+    spec0, spec1 = build_kernel_specs(
+        [2], [], [0], [], [], [], 2)
+    cfg = tstep.TrainConfig(latent_dim=4, M=6, P_tot=float(S), N_tot=float(n),
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float32,
+                            use_pallas_chol=True)
+    mcfg = HLVAEConfig(layout=ds.layout, z_dim=4, h_dims=(8,), y_dim=2,
+                       conv=False, dtype=jnp.float32)
+    model = HLVAE(mcfg)
+    batch = next(subject_batches(ds, S))
+    state = tstep.init_train_state(model, spec0, spec1, batch, cfg, seed=0)
+
+    D = 4
+    idx_mesh = epoch_subject_batches_mesh(ds.P, D, 4,
+                                          np.random.default_rng(7))
+    old = ls.FORCE_PALLAS
+    ls.FORCE_PALLAS = True   # CPU would otherwise bypass Pallas entirely
+    try:
+        ep_single = tstep.make_train_epoch(model, spec0, spec1, cfg)
+        staged = stage_dataset(ds, jnp.float32)
+        offs = (np.arange(D) * (ds.P // D))[None, :, None]
+        idx_g = np.where(idx_mesh >= 0, idx_mesh + offs, -1).reshape(
+            idx_mesh.shape[0], -1)
+        jaxpr_single = str(jax.make_jaxpr(ep_single)(
+            state, staged, jnp.asarray(idx_g)))
+        assert "pallas" in jaxpr_single
+
+        ep_mesh = tstep.make_train_epoch_mesh(model, spec0, spec1, cfg)
+        staged_m = stage_dataset_mesh(ds, jnp.float32, D)
+        jaxpr_mesh = str(jax.make_jaxpr(ep_mesh)(
+            state, staged_m, jnp.asarray(idx_mesh)))
+        assert "pallas" not in jaxpr_mesh
+    finally:
+        ls.FORCE_PALLAS = old
