@@ -86,9 +86,14 @@ def wait_healthy_device_link(attempts: int = 8, probe_timeout: float = 120.0,
     Healthy means the probe completes AND its cached-program value fetch
     round-trips fast (the degraded-but-alive relay mode still answers, just
     at ~2.6 s/trip — completing inside the timeout is not enough).
-    Proceeds after ``attempts`` regardless — the gate delays, never blocks.
-    On a directly-attached device the first probe passes instantly.
+    After ``attempts``: proceeds if the link is merely degraded (numbers
+    will be relay-bound but finite), but EXITS with status 2 if no probe
+    ever completed — a fully dead link would otherwise hang the first
+    device op forever, which reads as a hung benchmark instead of the
+    infrastructure failure it is.  On a directly-attached device the first
+    probe passes instantly.
     """
+    any_completed = False
     print("# probing device link health before measuring (see NOTES.md)",
           file=sys.stderr, flush=True)
     for i in range(attempts):
@@ -100,6 +105,7 @@ def wait_healthy_device_link(attempts: int = 8, probe_timeout: float = 120.0,
             line = next((l for l in r.stdout.splitlines()
                          if l.startswith("PROBE_OK")), None)
             if r.returncode == 0 and line:
+                any_completed = True
                 cached_fetch = float(line.split()[-1])
                 if cached_fetch < 1.0:
                     dt = time.perf_counter() - t0
@@ -111,6 +117,11 @@ def wait_healthy_device_link(attempts: int = 8, probe_timeout: float = 120.0,
         print(f"# device link degraded (probe attempt {i + 1}/{attempts}); "
               f"retrying in {retry_sleep:.0f}s", file=sys.stderr, flush=True)
         time.sleep(retry_sleep)
+    if not any_completed:
+        print("# device link DEAD: no probe completed — refusing to hang on "
+              "the first device op; restart the relay and re-run",
+              file=sys.stderr, flush=True)
+        sys.exit(2)
     print("# proceeding on a degraded link — numbers may be relay-bound",
           file=sys.stderr, flush=True)
 
