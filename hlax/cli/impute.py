@@ -50,12 +50,12 @@ def _load_arguments(model_dir: str) -> dict:
         return pickle.load(f)
 
 
-def _restore_vae_params(model_dir: str, early_stopping: bool):
-    """Restore just the VAE param tree from the run's orbax checkpoint.
+def _restore_state_tree(model_dir: str, early_stopping: bool) -> dict:
+    """Restore the TrainState pytree from the run's orbax checkpoint.
 
     Restores structure-free (no ``item=``) so no example batch / covariate
-    width is needed, then picks the ``vae`` field out of the TrainState
-    pytree whichever container form orbax used for the NamedTuple."""
+    width is needed; orbax stores the NamedTuple as a field-name-keyed dict
+    ({vae, k0, k1, raw_noise, zt, m, H, ...})."""
     import orbax.checkpoint as ocp
 
     from hlax.train import checkpoint as ckpt
@@ -66,9 +66,10 @@ def _restore_vae_params(model_dir: str, early_stopping: bool):
         raise FileNotFoundError(f"no checkpoint at {target}")
     tree = ocp.PyTreeCheckpointer().restore(target)
     if isinstance(tree, dict) and "vae" in tree:
-        return tree["vae"]
+        return tree
     if isinstance(tree, (list, tuple)):   # TrainState field order
-        return tree[0]
+        from hlax.train.step import TrainState
+        return dict(zip(TrainState._fields, tree))
     raise ValueError(
         f"unrecognized checkpoint structure at {target}: {type(tree)}")
 
@@ -83,11 +84,64 @@ def _decode_discrete(col_raw: np.ndarray, codes: np.ndarray) -> np.ndarray:
     return uniques[idx]
 
 
+def _gp_forward(model, vae, tree: dict, opt: dict, het, model_dir: str,
+                label_csv: Optional[str], data, mask, tmask) -> dict:
+    """Decode from the sparse-GP latent posterior at the rows' covariates."""
+    import pickle as pkl
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from hlax.data.dataset import HEALTH_MNIST_LABEL_ORDER
+    from hlax.eval.jits import decode_fn
+    from hlax.eval.validate import gp_predict_dataset
+    from hlax.gp.kernels import build_kernel_specs, noise_value
+    from hlax.ops.normalization import batch_normalization
+
+    if not label_csv:
+        raise ValueError("--use_gp needs --label_csv (row covariates)")
+    pv_path = os.path.join(model_dir, "plot_values.pkl")
+    if not os.path.isfile(pv_path):
+        raise FileNotFoundError(
+            f"{pv_path} not found — GP mode needs the training run's "
+            "encoded context (written at save time by the training CLI)")
+    with open(pv_path, "rb") as f:
+        train_x, train_mu = pkl.load(f)[:2]
+
+    labels_df = pd.read_csv(label_csv, header=0)
+    if het.n_variables == 1296:
+        labels_df = labels_df[
+            labels_df.columns.values[np.array(HEALTH_MNIST_LABEL_ORDER)]]
+    labels = np.nan_to_num(labels_df.to_numpy(dtype=np.float64))
+
+    spec0, spec1 = build_kernel_specs(
+        opt.get("cat_kernel") or [], opt.get("bin_kernel") or [],
+        opt.get("sqexp_kernel") or [], opt.get("cat_int_kernel") or [],
+        opt.get("bin_int_kernel") or [],
+        opt.get("covariate_missing_val") or [], opt["id_covariate"])
+    noise = noise_value(jnp.asarray(tree["raw_noise"]),
+                        opt.get("constrain_scales", False))
+    idc = opt["id_covariate"]
+    z = gp_predict_dataset(
+        spec0, tree["k0"], spec1, tree["k1"], noise, jnp.asarray(tree["zt"]),
+        np.asarray(train_x), np.asarray(train_mu),
+        np.asarray(train_x)[:, idc], labels, labels[:, idc],
+        opt.get("eps"))
+
+    _, norm_params = batch_normalization(data, mask, het.layout,
+                                         model.cfg.conv)
+    log_p_x, log_p_x_missing, params, _ = decode_fn(model)(
+        vae, jnp.asarray(z, model.cfg.dtype), data, mask, tmask, norm_params)
+    return {"log_p_x": log_p_x, "log_p_x_missing": log_p_x_missing,
+            "params": params}
+
+
 def run_impute(model_dir: str, data_csv: str, out_csv: str,
                mask_csv: Optional[str] = None, types_csv: Optional[str] = None,
                estimator: str = "mean", early_stopping: bool = False,
                ll_csv: Optional[str] = None, seed: int = 0,
-               device: str = "") -> np.ndarray:
+               device: str = "", use_gp: bool = False,
+               label_csv: Optional[str] = None) -> np.ndarray:
     import ast
 
     import jax
@@ -134,14 +188,24 @@ def run_impute(model_dir: str, data_csv: str, out_csv: str,
         vy_init_pos=opt.get("vy_init_pos", 0.5),
         dtype=_resolve_dtype(opt.get("model_dtype", "float32")))
     model = HLVAE(mcfg)
-    vae = _restore_vae_params(model_dir, early_stopping)
+    tree = _restore_state_tree(model_dir, early_stopping)
+    vae = tree["vae"]
 
     dt = mcfg.dtype
     data = jnp.asarray(het.data, dt)
     mask = jnp.asarray(het.mask, dt)
     tmask = jnp.asarray(het.theta_mask, dt)
-    out = forward_fn(model)(vae, data, mask, tmask,
-                            jax.random.PRNGKey(seed), False)
+    if use_gp:
+        # GP mode (the MSE_test_GPapprox path, model_test.py:19-133): latent
+        # z comes from the sparse-GP posterior at the rows' covariates given
+        # the training run's encoded context (plot_values.pkl), so rows the
+        # encoder never saw — future timepoints, fully-missing rows — are
+        # imputed by longitudinal extrapolation instead of q(z|x).
+        out = _gp_forward(model, vae, tree, opt, het, model_dir, label_csv,
+                          data, mask, tmask)
+    else:
+        out = forward_fn(model)(vae, data, mask, tmask,
+                                jax.random.PRNGKey(seed), False)
     mean_rec, mode_rec = mx.statistics(out["params"], het.layout, mcfg.conv)
     est_grouped = mean_rec if estimator == "mean" else mode_rec
     est = np.asarray(est_grouped)[:, het.layout.raw_inv]   # original order
@@ -203,9 +267,19 @@ def main(argv=None):
     p.add_argument("--device", default="",
                    help="pin the jax platform, e.g. cpu / tpu (default: "
                         "jax's own device pick)")
+    p.add_argument("--use_gp", action="store_true",
+                   help="impute from the sparse-GP latent posterior at the "
+                        "rows' covariates (needs --label_csv and the "
+                        "training run's plot_values.pkl) instead of the "
+                        "encoder posterior — handles rows the encoder never "
+                        "saw, e.g. future timepoints")
+    p.add_argument("--label_csv", default=None,
+                   help="covariate CSV for the input rows (training label "
+                        "format, with header); required with --use_gp")
     a = p.parse_args(argv)
     run_impute(a.model_dir, a.data_csv, a.out_csv, a.mask_csv, a.types_csv,
-               a.estimator, a.early_stopping, a.ll_csv, a.seed, a.device)
+               a.estimator, a.early_stopping, a.ll_csv, a.seed, a.device,
+               a.use_gp, a.label_csv)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,34 @@ def test_impute_fills_only_missing_cells(trained_run, tmp_path):
 
 
 @pytest.mark.slow
+def test_impute_gp_mode(trained_run, tmp_path):
+    """--use_gp imputes from the sparse-GP latent posterior at the rows'
+    covariates (MSE_test_GPapprox path) — works even for rows whose data is
+    entirely missing, which the encoder posterior cannot handle."""
+    raw, miss = trained_run["raw"], trained_run["miss"]
+    # blank out one full row: pure longitudinal extrapolation for that row
+    miss_gp = miss.copy()
+    miss_gp[7, :] = 0
+    mask_csv = str(tmp_path / "mask_gp.csv")
+    np.savetxt(mask_csv, miss_gp, delimiter=",", fmt="%d")
+    out_csv = str(tmp_path / "imputed_gp.csv")
+    impute_cli.main([
+        "--model_dir", trained_run["save"],
+        "--data_csv", os.path.join(trained_run["dir"], "train_data.csv"),
+        "--mask_csv", mask_csv,
+        "--label_csv", os.path.join(trained_run["dir"], "train_label.csv"),
+        "--out_csv", out_csv, "--use_gp",
+    ])
+    imp = np.loadtxt(out_csv, delimiter=",")
+    assert np.isfinite(imp).all()
+    np.testing.assert_allclose(imp[miss_gp == 1], raw[miss_gp == 1],
+                               rtol=1e-9)
+    # the fully-missing row was filled with in-domain values
+    assert set(np.unique(imp[:, 1])) <= set(np.unique(raw[:, 1]))
+    assert imp[7, 2] >= 0
+
+
+@pytest.mark.slow
 def test_impute_nan_mask_inference(trained_run, tmp_path):
     """Without --mask_csv, NaN cells are treated as the missing ones."""
     raw, miss = trained_run["raw"], trained_run["miss"]
