@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EPOCHS = 10
+EPOCHS = 3
 
 
 def main():
@@ -51,19 +51,27 @@ def main():
                 for _ in range(k)]
         return jnp.asarray(np.concatenate(mats, axis=0))
 
-    # one EPOCHS-epoch scan per dispatch, value-fetch sync (see bench.py:
-    # block_until_ready through the relay can return early, and per-epoch
-    # dispatch would measure relay latency, not the f64 compute cost)
-    state, ms = epoch_fn(state, staged, idx_chunk(EPOCHS))   # compile+warmup
+    # ONE-epoch programs, value-fetch synced per dispatch.  The first
+    # attempt scanned 10 epochs per dispatch and the multi-minute software
+    # -f64 program CRASHED the TPU worker ("kernel fault", 2026-08-18);
+    # per-epoch dispatch keeps each program short enough to survive while
+    # still timing against value fetches (see bench.py on why
+    # block_until_ready is not a sync point here).  The per-dispatch relay
+    # round-trip (~2 s worst case) is noise against a multi-second f64
+    # epoch.
+    state, ms = epoch_fn(state, staged, idx_chunk(1))   # compile+warmup
     np.asarray(ms["loss"])
     t0 = time.perf_counter()
-    state, ms = epoch_fn(state, staged, idx_chunk(EPOCHS))
-    losses = np.asarray(ms["loss"])
+    losses = []
+    for _ in range(EPOCHS):
+        state, ms = epoch_fn(state, staged, idx_chunk(1))
+        losses.append(np.asarray(ms["loss"]))
+    losses = np.concatenate(losses)
     dt = time.perf_counter() - t0
     res = {
         "dtype": "float64 (model + GP, on-chip)",
         "device_kind": jax.devices()[0].device_kind,
-        "epochs": 2 * EPOCHS,
+        "epochs": 1 + EPOCHS,
         "steps_per_sec": round(EPOCHS * nb / dt, 2),
         "losses_finite": bool(np.isfinite(losses).all()),
         "final_epoch_mean_loss": float(losses[-nb:].mean()),
