@@ -156,6 +156,13 @@ class ModelArgs:
             help="Pallas batch-on-lanes Cholesky inside the training KLD "
                  "bound (30%% faster full step on a v5e in the honest A/B; "
                  "falls back to XLA on CPU and for float64)")
+        add("--eval_gp_f64", type=str2bool, default=True,
+            help="compute the eval-side GP bounds (validation DUBO / "
+                 "sampled ELBO / posterior prediction) in float64, the "
+                 "reference-fidelity default. False runs them in the "
+                 "checkpoint dtype via the whitened W factorization — "
+                 "~an order of magnitude faster validation on TPU, where "
+                 "float64 is software-emulated (QUALITY.md)")
 
     def parse_options(self, argv=None):
         return vars(self.parser.parse_args(argv))

@@ -91,14 +91,27 @@ def _bucket(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length()
 
 
+# Eval-side GP compute dtype switch (CLI --eval_gp_f64).  float64 is the
+# default: it mirrors the reference's all-double evaluation and is the
+# fidelity reference.  float32 became *viable* in round 3 — the f32 NaNs on
+# trained kernels traced to factoring W = K0zz + KziBK directly, which the
+# whitened factorization removes (gp/elbo.py::whitened_w_factor) — and on a
+# TPU it skips software-emulated f64, making validation ~an order of
+# magnitude faster (measured numbers in QUALITY.md).
+EVAL_GP_F64 = True
+
+
+def set_eval_gp_f64(enabled: bool) -> None:
+    global EVAL_GP_F64
+    EVAL_GP_F64 = bool(enabled)
+
+
 def _eval_gp_dtype(zt):
-    """Eval-side GP bounds run in float64 when available: the W/K0zz
-    Cholesky factorizations go NaN in float32 once the kernels are trained
-    (measured on the canonical checkpoint: f32 DUBO = nan, f64 = 3.2e4),
-    and the reference evaluates everything in double anyway.  The training
-    path has its own mixed-precision treatment (TrainConfig.nat_grad_f64)."""
+    """float64 when enabled and available, else the checkpoint dtype."""
     import jax
-    return jnp.float64 if jax.config.jax_enable_x64 else zt.dtype
+    if EVAL_GP_F64 and jax.config.jax_enable_x64:
+        return jnp.float64
+    return zt.dtype
 
 
 def _cast_gp(params, dt):

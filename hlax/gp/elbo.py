@@ -266,6 +266,50 @@ def kld_upper_bound(
     return kld_total, grad_m, grad_H, iH_out
 
 
+def whitened_w_factor(LK0zz, K0xz, LB, use_pallas_chol: bool = True):
+    """Stable factorization of W = K0zz + Kzx·iB·Kxz without factoring W.
+
+    Whitening by the K0zz Cholesky factor: W = LK (I + C) LKᵀ with
+    C = iLK·Kzx·iB·Kxz·iLKᵀ PSD, so the matrix actually factored (I + C)
+    has eigenvalues >= 1 and its float32 Cholesky is unconditionally
+    stable.  Factoring W directly stacks K0zz's near-singular conditioning
+    on top of the Nystrom term's scale — on trained kernels that is what
+    pushed the float32 eval bounds to NaN (the round-2 finding that forced
+    eval-side float64).  Same move as the solve-based natural-gradient
+    chain (kld_upper_bound): triangular solves against Cholesky factors
+    instead of explicit compositions on the ill-conditioned gram.
+
+    C is built as an explicit Gram sum C = Σ_st GᵀG with
+    G = iLB·K0xz·iLKᵀ, NOT as iLK·KziBK·iLKᵀ: the triple product's
+    float32 rounding error scales with ‖iLK‖²·‖KziBK‖ (≈ O(1) absolute at
+    trained-kernel conditioning), which can push eigenvalues of I + C
+    below zero; a Gram sum is PSD in floating point up to
+    O(eps·λmax(C)) ≪ 1.
+
+    Args: LK0zz [L,M,M], K0xz [L,S,T,M] (masked), LB [L,S,T,T] — all from
+    ``subject_blocks``.  Returns (iLK, LWi, iLWi):
+      * logdet W = logdet K0zz + 2·Σ log diag LWi,
+      * inv(W)   = iLKᵀ · iLWiᵀ · iLWi · iLK,
+      * ‖iLW·p‖² with iLW = iLWi·iLK gives the W-quadratic forms.
+    """
+    M = LK0zz.shape[-1]
+    T = LB.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(M, dtype=LK0zz.dtype), LK0zz.shape)
+    eyeT = jnp.broadcast_to(jnp.eye(T, dtype=LB.dtype), LB.shape)
+    iLK = jax.scipy.linalg.solve_triangular(LK0zz, eye, lower=True)
+    iLB = jax.scipy.linalg.solve_triangular(LB, eyeT, lower=True)
+    A = jnp.einsum("lstm,lnm->lstn", K0xz, iLK)      # K0xz·iLKᵀ [L,S,T,M]
+    G = jnp.einsum("lstu,lsun->lstn", iLB, A)        # [L,S,T,M]
+    C = jnp.einsum("lstm,lstn->lmn", G, G)           # Gram sum: PSD
+    Wi = eye + C
+    if use_pallas_chol:
+        LWi, iLWi = chol_inv_blocked(Wi)
+    else:
+        LWi = jnp.linalg.cholesky(Wi)
+        iLWi = jax.scipy.linalg.solve_triangular(LWi, eye, lower=True)
+    return iLK, LWi, iLWi
+
+
 @_highest_precision
 def deviance_upper_bound(
     spec0: KernelSpec, params0, spec1: KernelSpec, params1,
@@ -282,19 +326,18 @@ def deviance_upper_bound(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    W = blk.K0zz + KziBK
-    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
-    LW, iLW = chol_inv_blocked(W)
+    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.LB)
 
-    logDetK0zz = _logdet_from_chol(blk.LK0zz)            # [L]
+    # logDetSigma = -logdet K0zz + logdet B + logdet W, and
+    # logdet W = logdet K0zz + logdet(I + C): the K0zz terms cancel
     logDetB = jnp.sum(_logdet_from_chol(blk.LB), axis=-1)   # [L]
-    logDetW = _logdet_from_chol(LW)
-    logDetSigma = -logDetK0zz + logDetB + logDetW
+    logDetSigma = logDetB + _logdet_from_chol(LWi)
 
     iB_m = jnp.einsum("lstu,lsu->lst", blk.iB, mu_m)
     qF1 = jnp.einsum("lst,lst->l", mu_m, iB_m)
     p = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_m)       # [L, M]
-    sol = jnp.einsum("lmn,ln->lm", iLW, p)               # = solve(LW, p)
+    sol = jnp.einsum("lmn,ln->lm", iLWi,
+                     jnp.einsum("lmn,ln->lm", iLK, p))   # = solve(LW, p)
     qF2 = jnp.sum(sol ** 2, axis=-1)
     qF = qF1 - qF2
 
@@ -307,8 +350,9 @@ def deviance_upper_bound(
     tr_iB_D = jnp.einsum("lst,lst->l", diag_iB, v_m)
     G = iB_K0xz * jnp.sqrt(v_m)[:, :, :, None]
     KziBDiBK = jnp.einsum("lstm,lstn->lmn", G, G)
-    # tr(iW K) with iW = iLW^T iLW:  sum(iLW K iLW^T diagonal)
-    tr_W = jnp.einsum("lmn,lno,lmo->l", iLW, KziBDiBK, iLW)
+    # tr(iW K) with iW = iLW^T iLW and iLW = iLWi·iLK
+    Kw = jnp.einsum("lmn,lno,lpo->lmp", iLK, KziBDiBK, iLK)
+    tr_W = jnp.einsum("lmn,lno,lmo->l", iLWi, Kw, iLWi)
     tr_iSigma_D = tr_iB_D - tr_W
 
     dubo = 0.5 * (tr_iSigma_D + qF - N_valid + logDetSigma - logDetD + tr)
@@ -334,18 +378,17 @@ def sample_elbo(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    W = blk.K0zz + KziBK
-    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
-    LW, iLW = chol_inv_blocked(W)
+    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.LB)
 
-    logDet = (-_logdet_from_chol(blk.LK0zz)
-              + jnp.sum(_logdet_from_chol(blk.LB), axis=-1)
-              + _logdet_from_chol(LW))                          # [L]
+    # -logdet K0zz + logdet W = logdet(I + C): K0zz cancels (see DUBO)
+    logDet = (jnp.sum(_logdet_from_chol(blk.LB), axis=-1)
+              + _logdet_from_chol(LWi))                         # [L]
 
     iB_y = jnp.einsum("lstu,lsu->lst", blk.iB, y_m)
     qF1 = jnp.einsum("lst,lst->l", y_m, iB_y)
     p = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_y)
-    sol = jnp.einsum("lmn,ln->lm", iLW, p)               # = solve(LW, p)
+    sol = jnp.einsum("lmn,ln->lm", iLWi,
+                     jnp.einsum("lmn,ln->lm", iLK, p))   # = solve(LW, p)
     qF = qF1 - jnp.sum(sol ** 2, axis=-1)
 
     tr = (jnp.sum(blk.iB * blk.K0_st, axis=(-1, -2, -3))

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hlax.gp.elbo import subject_blocks, _highest_precision
+from hlax.gp.elbo import subject_blocks, whitened_w_factor, _highest_precision
 from hlax.gp.kernels import KernelSpec, kernel_matrix
 
 
@@ -66,15 +66,16 @@ def batch_predict(
 
     mu_m = jnp.transpose(mu_st * pred_valid[:, :, None], (2, 0, 1))   # [L,Sp,Tp]
 
-    iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
-    KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    Hmat = blk.K0zz + KziBK
-
     iB_mu = jnp.einsum("lstu,lsu->lst", blk.iB, mu_m)                 # [L,Sp,Tp]
     t = jnp.einsum("lstm,lst->lm", blk.K0xz, iB_mu)[:, :, None]       # [L,M,1]
-    # Hmat is SPD (K0zz + Nystrom term): Cholesky solve — TPU has no f64 LU
-    LHm = jnp.linalg.cholesky(0.5 * (Hmat + jnp.swapaxes(Hmat, -1, -2)))
-    s = jax.scipy.linalg.cho_solve((LHm, True), t)                    # [L,M,1]
+    # H = K0zz + KziBK is SPD but ill-conditioned on trained kernels; solve
+    # through the whitened factorization (float32-stable, see
+    # gp/elbo.py::whitened_w_factor): inv(H) = iLKᵀ·iLWiᵀ·iLWi·iLK
+    iLK, _, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.LB)
+    t1 = jnp.einsum("lmn,lno->lmo", iLWi,
+                    jnp.einsum("lmn,lno->lmo", iLK, t))
+    s = jnp.einsum("lnm,lno->lmo", iLK,
+                   jnp.einsum("lnm,lno->lmo", iLWi, t1))              # [L,M,1]
     K0xz_iH = jnp.einsum("lstm,lmo->lst", blk.K0xz, s)                # [L,Sp,Tp]
     u = jnp.einsum("lstu,lsu->lst", blk.iB, K0xz_iH)
     mu_tilde = (iB_mu - u).reshape(iB_mu.shape[0], Np)                # [L,Np]

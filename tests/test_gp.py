@@ -384,3 +384,63 @@ def test_kld_pallas_chol_matches_xla_incl_gradients():
     sym = lambda A: 0.5 * (A + np.swapaxes(A, -1, -2))
     np.testing.assert_allclose(sym(np.asarray(gH_p)), sym(np.asarray(gH_x)),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_whitened_w_float32_stable_where_direct_factorization_fails():
+    """Trained-kernel conditioning regression (round-3 eval-dtype work).
+
+    On trained canonical checkpoints the eval bounds' W = K0zz + KziBK is
+    ill-conditioned enough that factoring it directly in float32 NaNs —
+    which is why rounds 1-2 forced eval-side float64.  The whitened
+    factorization (gp/elbo.py::whitened_w_factor) factors I + iLK·KziBK·iLKᵀ
+    (eigenvalues >= 1) instead, and must stay finite AND track the float64
+    value in float32 under the same adversarial conditioning: near-duplicate
+    inducing points (near-singular K0zz) with large output scales.
+    """
+    spec0, spec1 = _specs()
+    p0, p1 = _params(spec0), _params(spec1)
+    # crank the output scales (trained kernels grow scales freely); +50 puts
+    # cond(W) ~ 1.5e8 (direct f32 Cholesky fails) while cond(K0zz) ~ 5e6 (its
+    # f32 Cholesky survives, as it does every training step)
+    boost = lambda p: [{k: (v + 50.0 if k == "raw_os" else v)
+                        for k, v in c.items()} for c in p]
+    p0, p1 = boost(p0), boost(p1)
+    s, t = 32, 8
+    x_st = _covariates(s, t)
+    valid = np.ones((s, t))
+    # inducing rows identical in the cat dims (grid covariates) and
+    # near-duplicate in the rbf dim -> K0zz is rank-1 up to the jitter
+    z = np.tile(x_st[0, 0], (L, M, 1))
+    z[:, :, 0] += RNG.normal(0, 1e-5, (L, M))
+    mu = RNG.normal(0, 1, (s, t, L))
+    log_v = RNG.normal(-1, .3, (s, t, L))
+    noise = np.ones(L)
+
+    def dubo(dt, eps):
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dt), tree)
+        return float(E.deviance_upper_bound(
+            spec0, cast(p0), spec1, cast(p1), jnp.asarray(noise, dt),
+            cast(z), jnp.asarray(x_st, dt), jnp.asarray(valid, dt),
+            jnp.asarray(mu, dt), jnp.asarray(log_v, dt), eps))
+
+    ref = dubo(jnp.float64, 1e-6)
+    got = dubo(jnp.float32, 1e-4)
+    assert np.isfinite(ref)
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, ref, rtol=5e-3)
+
+    # and the motivation: the DIRECT f32 factorization of W breaks down
+    # (non-finite factor) on exactly this conditioning
+    cast32 = lambda tree: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), tree)
+    blk = E.subject_blocks(spec0, cast32(p0), spec1, cast32(p1),
+                           jnp.asarray(noise, jnp.float32), cast32(z),
+                           jnp.asarray(x_st, jnp.float32),
+                           jnp.asarray(valid, jnp.float32), 1e-4)
+    iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
+    KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
+    W = blk.K0zz + KziBK
+    LW_direct = jnp.linalg.cholesky(0.5 * (W + jnp.swapaxes(W, -1, -2)))
+    assert not bool(jnp.all(jnp.isfinite(LW_direct))), \
+        "direct f32 Cholesky of W unexpectedly survived; tighten the test"
