@@ -200,6 +200,21 @@ def gather_batch(staged, subj_idx):
     return out
 
 
+def gather_epoch(staged, idx_batches):
+    """All-epoch batch pre-gather: [nb, S] subject indices -> the same batch
+    dict ``gather_batch`` builds, with a leading nb axis — ONE device gather
+    per epoch leaf instead of one per scan trip (a lax.scan over the result
+    slices each trip's batch out with a dynamic-slice, which is cheaper on
+    TPU than per-trip gathers of the same rows)."""
+    nb, S = idx_batches.shape
+    T = staged["valid"].shape[1]
+    flat = gather_batch(staged, idx_batches.reshape(-1))
+    out = {k: v.reshape(nb, S * T, -1) for k, v in flat.items()
+           if k != "valid"}
+    out["valid"] = flat["valid"].reshape(nb, S, T)
+    return out
+
+
 def epoch_subject_batches(P: int, subjects_per_batch: int,
                           rng: Optional[np.random.Generator] = None):
     """Subject-index batches for one epoch (host side, tiny arrays)."""

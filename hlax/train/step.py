@@ -295,7 +295,7 @@ def make_train_step(model: HLVAE, spec0, spec1, cfg: TrainConfig):
 
 
 def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig,
-                     unroll: int = 1):
+                     unroll: int = 1, pregather: bool = False):
     """Whole-epoch training as ONE XLA program (jit-ready).
 
     ``epoch(state, staged, idx_batches)``: lax.scan of the train step over
@@ -310,12 +310,21 @@ def make_train_epoch(model: HLVAE, spec0, spec1, cfg: TrainConfig,
     latency), so unrolling the loop body removes that per-trip tax on
     relay-attached devices; on directly-attached TPUs it is a conventional
     pipelining knob.  Program size grows ~unroll x (compile time too).
+
+    ``pregather``: gather ALL the epoch's batches in one device op before
+    the scan (one big gather per epoch, HBM cost = one extra dataset-sized
+    epoch buffer) instead of one small gather per scan trip.  Value-
+    identical; a throughput knob to be settled by measurement.
     """
-    from hlax.data.dataset import gather_batch
+    from hlax.data.dataset import gather_batch, gather_epoch
 
     step = make_train_step(model, spec0, spec1, cfg)
 
     def epoch(state: TrainState, staged, idx_batches):
+        if pregather:
+            return jax.lax.scan(step, state, gather_epoch(staged, idx_batches),
+                                unroll=unroll)
+
         def body(st, idx):
             return step(st, gather_batch(staged, idx))
         return jax.lax.scan(body, state, idx_batches, unroll=unroll)

@@ -192,6 +192,17 @@ def test_epoch_scan_matches_per_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
 
+    # the pre-gathered variant (one gather per epoch) is value-identical
+    ep_pg = jax.jit(tstep.make_train_epoch(model, spec0, spec1, cfg,
+                                           pregather=True))
+    s_pg, ms_pg = ep_pg(state, staged, jnp.asarray(idx_mat))
+    np.testing.assert_allclose(np.asarray(ms_pg["loss"]), ref_losses,
+                               rtol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(s_pg._replace(opt_state=None)),
+                    jax.tree_util.tree_leaves(s_scan._replace(opt_state=None))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
 
 @pytest.mark.slow
 def test_chunked_dispatch_matches_per_epoch():
