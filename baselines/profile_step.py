@@ -128,7 +128,11 @@ def main():
     x_st = b["labels"].reshape(S, Tt, -1)
     mu0 = jnp.zeros((S, Tt, bench.LATENT), jnp.float32)
     lv0 = jnp.zeros((S, Tt, bench.LATENT), jnp.float32)
-    nat_dt = jnp.float64 if jax.config.jax_enable_x64 else None
+    # match the SHIPPED configuration (cfg.nat_grad_f64=False -> f32 chain);
+    # an earlier revision timed the f64 chain here, which is 30-60x slower
+    # under TPU software-f64 and is not what the epoch/bench numbers run
+    nat_dt = (jnp.float64 if cfg.nat_grad_f64 and jax.config.jax_enable_x64
+              else None)
     noise = noise_value(state.raw_noise, True)
 
     def kld_fwd(c):
@@ -156,7 +160,7 @@ def main():
 
     def natgrad(c):
         gH = jnp.zeros(state.H.shape,
-                       jnp.float64 if nat_dt is not None else state.H.dtype)
+                       nat_dt if nat_dt is not None else state.H.dtype)
         gm = jnp.zeros(state.m.shape, gH.dtype) + c.astype(gH.dtype)
         m_new, H_new = gp_elbo.natural_gradient_update(
             state.m, state.H, gm, gH, 0.01,
