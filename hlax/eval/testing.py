@@ -19,7 +19,7 @@ import pandas as pd
 from hlax.data.dataset import LongitudinalDataset
 from hlax.eval import metrics as mx
 from hlax.eval.jits import decode_fn, forward_fn
-from hlax.eval.validate import gp_predict_dataset
+from hlax.eval.validate import device_het, gp_predict_dataset
 from hlax.ops.normalization import batch_normalization
 
 
@@ -98,10 +98,9 @@ def hlvae_test(model, vae_params, ds: LongitudinalDataset,
     ``test=True`` restricts to unseen rows — frames 5..T-1 per subject in
     conv mode, label-set difference vs ``training_indexes`` otherwise."""
     dt = model.cfg.dtype
-    het = ds.het
-    data = jnp.asarray(het.data, dt)
-    mask = jnp.asarray(het.mask, dt)
-    tmask = jnp.asarray(het.theta_mask, dt)
+    # staged once per dataset+dtype: the CLI reruns this battery every
+    # save_interval epochs (training.py:195-245) — see validate.device_het
+    data, mask, tmask = device_het(ds, dt)
     out = forward_fn(model)(vae_params, data, mask, tmask,
                             jax.random.PRNGKey(0), False)
     rows, fallback = (_unseen_rows(ds, model.cfg.conv, training_indexes)
@@ -142,9 +141,7 @@ def mse_test_gp(model, vae_params, spec0, k0, spec1, k1, noise, zt,
 
     dt = model.cfg.dtype
     het = test_ds.het
-    data = jnp.asarray(het.data, dt)
-    mask = jnp.asarray(het.mask, dt)
-    tmask = jnp.asarray(het.theta_mask, dt)
+    data, mask, tmask = device_het(test_ds, dt)
     norm_data, norm_params = batch_normalization(
         data, mask, test_ds.layout, test_ds.conv)
     log_p_x, log_p_x_missing, params, _ = decode_fn(model)(
