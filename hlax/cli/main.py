@@ -106,7 +106,8 @@ def run(opt: dict) -> dict:
             saved = pickle.load(f)
         for k in ("early_stopping", "epochs", "save_interval", "results_path",
                   "save_path", "gp_model_folder", "generate_images",
-                  "memory_dbg", "run_tests", "run_validation"):
+                  "memory_dbg", "run_tests", "run_validation",
+                  "eval_gp_f64"):
             if k in opt:
                 saved[k] = opt[k]
         opt = saved
@@ -114,9 +115,10 @@ def run(opt: dict) -> dict:
     for key in sorted(opt):
         print(f"{key}: {opt[key]}")
 
-    # eval-side GP compute dtype (float64 fidelity default; float32 via the
-    # whitened factorization is ~10x faster on TPU — see --eval_gp_f64)
-    val.set_eval_gp_f64(opt.get("eval_gp_f64", True))
+    # eval-side GP compute dtype: checkpoint dtype (f32) by default via the
+    # whitened factorization; --eval_gp_f64 is the fidelity flag.  Read after
+    # the arguments.pkl merge so eval-only reruns honour the CLI value.
+    val.set_eval_gp_f64(opt.get("eval_gp_f64", False))
 
     model_dtype = _resolve_dtype(opt.get("model_dtype", "float32"))
     gp_dtype = _resolve_dtype(opt.get("gp_dtype", "float32"))
@@ -441,7 +443,12 @@ def run(opt: dict) -> dict:
         ckpt.save(save_path, state)
     _memory_dbg(opt.get("memory_dbg"), "saving")
 
-    out = {"state": state, "model": model, "loss_arrs": loss_arrs}
+    out = {"state": state, "model": model, "loss_arrs": loss_arrs,
+           "spec0": spec0, "spec1": spec1, "noise": noise_fn(state),
+           "datasets": {"train": dataset, "validation": validation_dataset,
+                        "test": test_dataset,
+                        "prediction": prediction_dataset},
+           "encode_train": encode_train}
 
     # final validation (HLVAE_main.py:332-353)
     if opt.get("run_validation") and validation_dataset is not None:

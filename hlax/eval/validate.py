@@ -117,14 +117,15 @@ def _bucket(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length()
 
 
-# Eval-side GP compute dtype switch (CLI --eval_gp_f64).  float64 is the
-# default: it mirrors the reference's all-double evaluation and is the
-# fidelity reference.  float32 became *viable* in round 3 — the f32 NaNs on
-# trained kernels traced to factoring W = K0zz + KziBK directly, which the
-# whitened factorization removes (gp/elbo.py::whitened_w_factor) — and on a
-# TPU it skips software-emulated f64, making validation ~an order of
-# magnitude faster (measured numbers in QUALITY.md).
-EVAL_GP_F64 = True
+# Eval-side GP compute dtype switch (CLI --eval_gp_f64).  The default is the
+# checkpoint dtype (float32): the round-3 whitened W factorization
+# (gp/elbo.py::whitened_w_factor) removed the f32 NaNs on trained kernels
+# (the direct factorization of W = K0zz + KziBK was the culprit), and the
+# measured fidelity cost is 0.27% on the worst validation row at a 4.1x
+# validate() speedup (baselines/eval_dtype_ab.json; bound enforced by
+# tests/test_e2e.py::test_eval_gp_f32_matches_f64).  float64 remains the
+# fidelity flag mirroring the reference's all-double evaluation.
+EVAL_GP_F64 = False
 
 
 def set_eval_gp_f64(enabled: bool) -> None:

@@ -66,6 +66,7 @@ class SubjectBlocks(NamedTuple):
     K0_st: jnp.ndarray       # [L, S, T, T]   (masked)
     LB: jnp.ndarray          # [L, S, T, T]
     iB: jnp.ndarray          # [L, S, T, T]
+    iLB: jnp.ndarray         # [L, S, T, T]   inverse Cholesky factor of B
 
 
 @_highest_precision
@@ -129,16 +130,17 @@ def subject_blocks(
         # the training step (honest on-chip A/B: 4.94 vs 7.04 ms full step —
         # round 2's opposite conclusion was an enqueue-rate timing artifact).
         LB, iLB = chol_inv_small(B_st)
-        iB = jnp.einsum("lskt,lsku->lstu", iLB, iLB)
     else:
         LB = jnp.linalg.cholesky(B_st)
-        iB = _chol_inverse(LB)
+        iLB = jax.scipy.linalg.solve_triangular(
+            LB, jnp.broadcast_to(eyeT, LB.shape), lower=True)
+    iB = jnp.einsum("lskt,lsku->lstu", iLB, iLB)
 
     if with_K0st:
         K0_st = kernel_matrix(spec0, params0, x_st, x_st) * vo[None]
     else:
         K0_st = jnp.zeros((L, 0, 0, 0), dt)
-    blocks = SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB)
+    blocks = SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB, iLB)
     return blocks if extra_spd is None else (blocks, extra_fact)
 
 
@@ -266,7 +268,7 @@ def kld_upper_bound(
     return kld_total, grad_m, grad_H, iH_out
 
 
-def whitened_w_factor(LK0zz, K0xz, LB, use_pallas_chol: bool = True):
+def whitened_w_factor(LK0zz, K0xz, iLB, use_pallas_chol: bool = True):
     """Stable factorization of W = K0zz + Kzx·iB·Kxz without factoring W.
 
     Whitening by the K0zz Cholesky factor: W = LK (I + C) LKᵀ with
@@ -286,18 +288,18 @@ def whitened_w_factor(LK0zz, K0xz, LB, use_pallas_chol: bool = True):
     below zero; a Gram sum is PSD in floating point up to
     O(eps·λmax(C)) ≪ 1.
 
-    Args: LK0zz [L,M,M], K0xz [L,S,T,M] (masked), LB [L,S,T,T] — all from
-    ``subject_blocks``.  Returns (iLK, LWi, iLWi):
+    Args: LK0zz [L,M,M], K0xz [L,S,T,M] (masked), iLB [L,S,T,T] — all from
+    ``subject_blocks`` (iLB is the inverse Cholesky factor of B it already
+    produced; re-solving it here would duplicate the most expensive
+    per-subject solve on every eval bound/predict call).
+    Returns (iLK, LWi, iLWi):
       * logdet W = logdet K0zz + 2·Σ log diag LWi,
       * inv(W)   = iLKᵀ · iLWiᵀ · iLWi · iLK,
       * ‖iLW·p‖² with iLW = iLWi·iLK gives the W-quadratic forms.
     """
     M = LK0zz.shape[-1]
-    T = LB.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(M, dtype=LK0zz.dtype), LK0zz.shape)
-    eyeT = jnp.broadcast_to(jnp.eye(T, dtype=LB.dtype), LB.shape)
     iLK = jax.scipy.linalg.solve_triangular(LK0zz, eye, lower=True)
-    iLB = jax.scipy.linalg.solve_triangular(LB, eyeT, lower=True)
     A = jnp.einsum("lstm,lnm->lstn", K0xz, iLK)      # K0xz·iLKᵀ [L,S,T,M]
     G = jnp.einsum("lstu,lsun->lstn", iLB, A)        # [L,S,T,M]
     C = jnp.einsum("lstm,lstn->lmn", G, G)           # Gram sum: PSD
@@ -326,7 +328,7 @@ def deviance_upper_bound(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.LB)
+    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.iLB)
 
     # logDetSigma = -logdet K0zz + logdet B + logdet W, and
     # logdet W = logdet K0zz + logdet(I + C): the K0zz terms cancel
@@ -378,7 +380,7 @@ def sample_elbo(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.LB)
+    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.iLB)
 
     # -logdet K0zz + logdet W = logdet(I + C): K0zz cancels (see DUBO)
     logDet = (jnp.sum(_logdet_from_chol(blk.LB), axis=-1)

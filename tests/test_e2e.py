@@ -162,6 +162,63 @@ def test_cli_data_parallel_smoke(data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_gp_f32_matches_f64(data_dir, tmp_path):
+    """Regression bound for the round-4 --eval_gp_f64 default flip: on a
+    trained float32 checkpoint, every validation row computed with the f32
+    whitened-factorization path must agree with the float64 fidelity path
+    within 1% (the canonical-scale A/B measured 0.27% worst-row delta,
+    baselines/eval_dtype_ab.json)."""
+    from hlax.eval import validate as val
+
+    save = tmp_path / "f32_run"
+    cfg_file = tmp_path / "f32_cfg.txt"
+    cfg_file.write_text("\n".join([
+        f"--data_source_path={data_dir}",
+        f"--save_path={save}",
+        "--csv_types_file=data_types_D4.csv",
+        "--csv_file_data=prediction_data_D4.csv",
+        "--csv_file_label=prediction_label.csv",
+        "--mask_file=prediction_mask.csv",
+        "--csv_file_validation_data=validation_data_D4.csv",
+        "--csv_file_validation_label=validation_label.csv",
+        "--validation_mask_file=validation_mask.csv",
+        "--latent_dim=2", "--id_covariate=2", "--M=4", "--P=4", "--T=20",
+        "--epochs=30", "--save_interval=100", "--num_dim=1296",
+        "--type_KL=GPapprox_closed", "--subjects_per_batch=4",
+        "--natural_gradient=True", "--constrain_scales=True",
+        "--run_validation=True", "--run_tests=False",
+        "--cat_kernel=[2]", "--bin_kernel=[]", "--sqexp_kernel=[0]",
+        "--cat_int_kernel=[]", "--bin_int_kernel=[]",
+        "--covariate_missing_val=[]",
+        "--hidden_layers=[8]", "--conv_hivae=False", "--y_dim=2",
+        # checkpoint dtype float32: the non-f64 path must actually run f32
+        "--gp_dtype=float32", "--model_dtype=float32",
+    ]))
+    out = main_cli.main([f"--f={cfg_file}"])
+    state, model = out["state"], out["model"]
+    val_ds = out["datasets"]["validation"]
+    train_mu, train_x = out["encode_train"]()
+
+    def rows(f64: bool):
+        val.set_eval_gp_f64(f64)
+        df = val.validate(
+            model, state.vae, out["spec0"], state.k0, out["spec1"],
+            state.k1, out["noise"], state.zt, val_ds, train_mu, train_x,
+            id_covariate=2, results_path=None)
+        return df[0].to_numpy()
+
+    try:
+        r64 = rows(True)
+        r32 = rows(False)
+    finally:
+        val.set_eval_gp_f64(False)   # restore the default for other tests
+    assert np.isfinite(r64).all() and np.isfinite(r32).all()
+    denom = np.maximum(np.abs(r64), 1e-6)
+    rel = np.abs(r32 - r64) / denom
+    assert rel.max() < 1e-2, f"f32/f64 validation rows diverge: {rel}"
+
+
+@pytest.mark.slow
 def test_cli_early_stopping_checkpoint_and_rerun(data_dir, tmp_path):
     """Early-stopping flow (training.py:246-264 + HLVAE_main.py:52-76):
     past epoch 100 the best-validation state is checkpointed as early_best,
