@@ -430,9 +430,9 @@ def natural_gradient_update(m, H, grad_m, grad_H, lr: float, iH=None,
         # Pallas blocked factorization when allowed (self-gating; this is
         # the gradient-free (m, H) update, so only the forward kernel
         # runs) — iL^T iL equals cho_solve-against-eye's two triangular
-        # solves up to rounding of the same order.  use_pallas_chol=False
-        # (the mesh training path — GSPMD cannot partition Mosaic custom
-        # calls) takes the pure-XLA route.
+        # solves up to rounding of the same order.  Partitions cleanly on
+        # a mesh too (custom_partitioning wrapper, linalg_small.py), so
+        # use_pallas_chol=False is purely a caller preference now.
         if use_pallas_chol:
             _, iLA = chol_inv_blocked(A)
             return jnp.einsum("lkm,lkn->lmn", iLA, iLA)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec
 
 MAX_UNROLLED_T = 48      # beyond this, fall back to jnp.linalg
 _VMEM_BUDGET = 13 * 1024 * 1024   # per-grid-step working-set budget (bytes)
@@ -149,14 +150,9 @@ def _use_fallback(a, n_bufs: int = 5) -> bool:
     return a.dtype == jnp.float64  # no f64 Pallas on TPU
 
 
-def _chol_inv_impl(a):
+def _pallas_fwd_batched(a):
+    """Pallas (L, iL) of a [..., T, T]: pack -> unrolled kernel -> unpack."""
     t = a.shape[-1]
-    if _use_fallback(a):
-        l = jnp.linalg.cholesky(a)
-        eye = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape)
-        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
-        return l, il
-
     batch_shape = a.shape[:-2]
     b = int(np.prod(batch_shape)) if batch_shape else 1
     # pad the batch to whole [tile, 128] grid blocks (identity blocks so the
@@ -175,6 +171,78 @@ def _chol_inv_impl(a):
     unpack = lambda x: jnp.swapaxes(jnp.moveaxis(
         x.reshape(t, t, b_pad)[..., :b], -1, 0), -1, -2).reshape(a.shape)
     return unpack(l_t), unpack(il_t)
+
+
+def _ambient_mesh():
+    """The physical mesh of an active ``with mesh:`` context, or None.
+
+    GSPMD/Shardy cannot see inside a Mosaic custom call, so on a device
+    mesh the Pallas entry points must be wrapped in ``jax.shard_map`` —
+    each shard then runs the unmodified kernel on its local batch block
+    (the factorization is independent per batch element).  The mesh is
+    read from the ambient context at TRACE time: every hlax mesh surface
+    (the CLI's --data_parallel path, jit_train_epoch/jit_train_step tests,
+    dryrun_multichip) traces inside ``with mesh:``.  shard_map is used
+    instead of jax.experimental.custom_partitioning deliberately: the
+    partitioner's operand-sharding round-trip (parse_flatten_op_sharding)
+    hard-fails on partially-replicated shardings GSPMD propagation is free
+    to pick (observed: tile [1,2,1,1,4] on a (data=4, latent=2) mesh), so
+    custom_partitioning is a compile-time crash risk on real multi-chip;
+    shard_map's in/out specs are chosen deterministically here."""
+    try:
+        from jax._src import mesh as mesh_lib
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:
+        return None
+    return None if (m.empty or m.size == 1) else m
+
+
+# hlax mesh axis names (hlax/parallel/mesh.py) in their canonical batch-dim
+# placement: dim 0 of [L, ...] is the latent axis, dim 1 of [L, S, T, T] the
+# subject/data axis.  Unknown axis names still get packed greedily below.
+_BATCH_AXIS_PREF = ("latent", "data")
+
+
+def _batch_partition_spec(mesh, shape, nbatch: int) -> PartitionSpec:
+    """Shard the batch dims over as much of the mesh as divides evenly:
+    canonical axes on their canonical dims first, leftover axes packed onto
+    any batch dim they divide.  Matrix dims always replicate.  A dim that
+    nothing divides stays replicated (redundant per-shard compute, still
+    correct)."""
+    pref = [ax for ax in _BATCH_AXIS_PREF if ax in mesh.shape]
+    others = [ax for ax in mesh.shape if ax not in pref]
+    assigned = [[] for _ in range(nbatch)]
+    for i, ax in enumerate(pref):
+        if i < nbatch and shape[i] % mesh.shape[ax] == 0:
+            assigned[i].append(ax)
+        else:
+            others.append(ax)
+    for ax in others:
+        for i in range(nbatch):
+            cur = 1
+            for a in assigned[i]:
+                cur *= mesh.shape[a]
+            if shape[i] % (cur * mesh.shape[ax]) == 0:
+                assigned[i].append(ax)
+                break
+    parts = [tuple(a) if len(a) > 1 else (a[0] if a else None)
+             for a in assigned]
+    return PartitionSpec(*parts, None, None)
+
+
+def _chol_inv_impl(a):
+    t = a.shape[-1]
+    if _use_fallback(a):
+        l = jnp.linalg.cholesky(a)
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=a.dtype), a.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return l, il
+    mesh = _ambient_mesh()
+    if mesh is None:
+        return _pallas_fwd_batched(a)
+    spec = _batch_partition_spec(mesh, a.shape, a.ndim - 2)
+    return jax.shard_map(_pallas_fwd_batched, mesh=mesh, in_specs=spec,
+                         out_specs=(spec, spec), check_vma=False)(a)
 
 
 
@@ -250,21 +318,33 @@ def _fwd(a):
     return (l, il), (l, il)
 
 
+def _pallas_bwd_batched(l, il, l_bar, il_bar):
+    """Pallas Cholesky+inverse pullback of [..., T, T] batches."""
+    t = l.shape[-1]
+    b = int(np.prod(l.shape[:-2])) if l.shape[:-2] else 1
+    tile = _batch_tile(t, n_bufs=10)
+    blk = tile * 128
+    b_pad = ((b + blk - 1) // blk) * blk
+    a_bar_t = _chol_bwd_tpu(
+        _pack(l, t, b_pad), _pack(il, t, b_pad),
+        _pack(l_bar, t, b_pad), _pack(il_bar, t, b_pad), t, tile)
+    return _unpack(a_bar_t, t, b, l.shape)
+
+
 def _bwd(res, grads):
     l, il = res
     l_bar, il_bar = grads
     # the backward holds ~10 live [T,T,tile,128] tensors; when tile=8 cannot
     # fit (T >~ 16) or the forward fell back, use the XLA reference pullback
     if not _use_fallback(l, n_bufs=10):
-        t = l.shape[-1]
-        b = int(np.prod(l.shape[:-2])) if l.shape[:-2] else 1
-        tile = _batch_tile(t, n_bufs=10)
-        blk = tile * 128
-        b_pad = ((b + blk - 1) // blk) * blk
-        a_bar_t = _chol_bwd_tpu(
-            _pack(l, t, b_pad), _pack(il, t, b_pad),
-            _pack(l_bar, t, b_pad), _pack(il_bar, t, b_pad), t, tile)
-        return (_unpack(a_bar_t, t, b, l.shape),)
+        mesh = _ambient_mesh()
+        if mesh is None:
+            return (_pallas_bwd_batched(l, il, l_bar, il_bar),)
+        spec = _batch_partition_spec(mesh, l.shape, l.ndim - 2)
+        fn = jax.shard_map(_pallas_bwd_batched, mesh=mesh,
+                           in_specs=(spec, spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+        return (fn(l, il, l_bar, il_bar),)
     return _bwd_reference(l, il, l_bar, il_bar)
 
 

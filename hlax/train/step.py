@@ -343,14 +343,17 @@ def make_train_epoch_mesh(model: HLVAE, spec0, spec1, cfg: TrainConfig):
     partitioner adds no collectives for the data movement.  Jit through
     ``hlax.parallel.mesh.jit_train_epoch`` to pin the shardings.
 
-    The Pallas Cholesky kernels are forced OFF on this path: GSPMD cannot
-    auto-partition Mosaic custom calls, so a latent-sharded [L, M, M]
-    operand reaching a pallas_call would fail to partition (or silently
-    replicate).  XLA's native Cholesky partitions cleanly; single-device
-    epochs keep the Pallas default."""
+    The Pallas Cholesky kernels stay ON here (cfg.use_pallas_chol): GSPMD
+    cannot see inside a Mosaic custom call, but the kernels' entry points
+    wrap themselves in ``jax.shard_map`` over the ambient mesh with
+    batch-dims-sharded specs (hlax/ops/linalg_small.py::_ambient_mesh), so
+    each shard runs the unmodified kernel on its local [L_loc, S_loc, T, T]
+    block — the mesh program keeps the 30% full-step win instead of falling
+    back to XLA's factorization (round 3 forced use_pallas_chol=False
+    here).  Requires tracing inside ``with mesh:``, which every hlax mesh
+    surface (CLI --data_parallel, jit_train_epoch, dryrun) does."""
     from hlax.data.dataset import gather_batch_mesh
 
-    cfg = dataclasses.replace(cfg, use_pallas_chol=False)
     step = make_train_step(model, spec0, spec1, cfg)
 
     def epoch(state: TrainState, staged, idx_batches):

@@ -6,7 +6,19 @@ import jax.numpy as jnp
 
 from hlax.ops import linalg_small as ls
 
-ls.FORCE_PALLAS = True   # exercise the Pallas kernel in interpret mode
+
+@pytest.fixture(autouse=True)
+def _force_pallas():
+    """Exercise the Pallas kernel in interpret mode — and RESTORE it: the
+    old module-level ``ls.FORCE_PALLAS = True`` leaked into every later test
+    file in the session, silently flipping unrelated tests onto the Pallas
+    path (found when the leak routed test_parallel's f64 mesh program
+    through it)."""
+    old = ls.FORCE_PALLAS
+    ls.FORCE_PALLAS = True
+    yield
+    ls.FORCE_PALLAS = old
+
 
 RNG = np.random.default_rng(11)
 
