@@ -23,8 +23,15 @@ def initialize(coordinator_address: Optional[str] = None,
 
     No-op for single-process runs (the common single-host case) and when
     the environment provides no coordinator information.
+
+    The already-initialized probe must NOT touch the XLA backend:
+    ``jax.process_count()`` here would bring the backend up and make the
+    subsequent ``jax.distributed.initialize()`` raise unconditionally
+    ("must be called before any JAX calls") — found by the two-process
+    smoke test (tests/test_distributed.py), which is exactly the failure
+    mode this module had before it was ever exercised multi-process.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return   # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
