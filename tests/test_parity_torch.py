@@ -233,6 +233,105 @@ def test_one_step_parity(setup, monkeypatch):
                                rtol=1e-6, atol=1e-8 * np.abs(gH_t).max())
 
 
+@pytest.mark.slow
+def test_training_trajectory_parity(setup, monkeypatch):
+    """Multi-step trajectory parity: hlax's REAL jitted train step (Adam +
+    closed-form natural-gradient (m,H) update, hlax/train/step.py) against
+    the torch replica's one_step loop (training.py:62-137 semantics) from
+    identical weights with shared per-step reparameterization noise, both
+    float64 on CPU.
+
+    The one-step test above proves the forward/bound/nat-grad math; THIS
+    test is where silent drift in the optimizer (optax.adam vs torch Adam),
+    the nat-grad accumulation, or cross-step normalization would surface —
+    the per-step losses must track each other through N_STEPS full-batch
+    steps, making the 'bit-comparable ELBO' north star (BASELINE.md)
+    mechanically checkable."""
+    import optax  # noqa: F401  (documented dependency of the claim below)
+    from hlax.train import step as tstep
+
+    s = setup
+    N_STEPS = 25
+    cfg = tstep.TrainConfig(latent_dim=L, M=M, P_tot=P_TOT, N_tot=N_TOT,
+                            id_covariate=2, natural_gradient=True,
+                            constrain_scales=True, gp_dtype=jnp.float64,
+                            eps=EPS)
+    model = s["model"]
+    batch = {"data": s["data"], "mask": s["mask"],
+             "theta_mask": s["tmask"],
+             "labels": jnp.asarray(s["labels"], jnp.float64),
+             "valid": jnp.ones((S, T), jnp.float64)}
+    state = tstep.TrainState(
+        vae=s["params"], k0=s["k0"], k1=s["k1"],
+        raw_noise=gp_kernels.noise_init(L, True, jnp.float64),
+        zt=jnp.asarray(s["zt"]), m=jnp.asarray(s["m"]),
+        H=jnp.asarray(s["H"]), opt_state=None,
+        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(42))
+    state = state._replace(
+        opt_state=tstep.make_optimizer(cfg).init(tstep._trainable(state, cfg)))
+    step_fn = jax.jit(tstep.make_train_step(model, s["spec0"], s["spec1"],
+                                            cfg))
+
+    # torch side: identical weights via the port helpers
+    lay = s["het"].layout
+    g_cat, g_real = lay.groups[0], lay.groups[1]
+    data = np.asarray(s["data"])
+    mask = np.asarray(s["mask"])
+    x_cat = _t(data[:, g_cat.exp_slice[0]:g_cat.exp_slice[1]])
+    x_real = _t(data[:, g_real.exp_slice[0]:g_real.exp_slice[1]])
+    m_cat = _t(mask[:, g_cat.raw_slice[0]:g_cat.raw_slice[1]])
+    m_real = _t(mask[:, g_real.raw_slice[0]:g_real.raw_slice[1]])
+    x_t = _t(s["labels"])
+    vae = _port_vae_to_torch(s["params"], monkeypatch)
+    kern = _port_kernels_to_torch(s["k0"], s["k1"])
+    z_t = _t(s["zt"]).requires_grad_(True)
+    m_t, H_t = _t(s["m"]), _t(s["H"])
+    # same Adam as optax.adam(cfg.lr): betas (0.9, 0.999), eps 1e-8 applied
+    # OUTSIDE the sqrt (optax eps_root=0), bias correction on — the torch
+    # default update rule
+    opt = torch.optim.Adam(list(vae.parameters()) + kern.params() + [z_t],
+                           lr=cfg.lr)
+
+    losses_j, losses_t = [], []
+    for _ in range(N_STEPS):
+        # reproduce the step's reparameterization noise: the jitted step
+        # derives its model key via rng, sub = split(state.rng) (step.py)
+        _, sub = jax.random.split(state.rng)
+        out = model.apply(state.vae, s["data"], s["mask"], s["tmask"], sub)
+        eps = (np.asarray(out["z"]) - np.asarray(out["mu"])) \
+            / np.exp(0.5 * np.asarray(out["log_var"]))
+
+        state, metrics = step_fn(state, batch)
+        losses_j.append(float(metrics["loss"]))
+
+        opt.zero_grad()
+        nll_t, mu_t, logv_t = vae(x_real, x_cat, m_real, m_cat, eps=_t(eps))
+        kld_t, gm_t, gH_t = tb.kld_iter(kern, m_t, H_t, x_t, mu_t, logv_t,
+                                        z_t, P_TOT, float(S), N_TOT, 2)
+        loss_t = nll_t * P_TOT / S + kld_t
+        loss_t.backward()
+        opt.step()
+        with torch.no_grad():   # training.py:130-137
+            LHt = torch.linalg.cholesky(H_t)
+            iH = torch.cholesky_solve(torch.eye(M, dtype=torch.float64), LHt)
+            iH_new = iH + 0.01 * (gH_t + gH_t.transpose(-1, -2))
+            LiH = torch.linalg.cholesky(iH_new)
+            H_t = torch.cholesky_solve(torch.eye(M, dtype=torch.float64), LiH)
+            m_t = torch.matmul(H_t, torch.matmul(iH, m_t)
+                               - 0.01 * (gm_t - 2 * torch.matmul(gH_t, m_t)))
+        losses_t.append(float(loss_t.detach()))
+
+    # the loss must have actually moved (this is a real trajectory, not a
+    # fixed point) and the two frameworks must track each other throughout
+    assert abs(losses_j[-1] - losses_j[0]) > 1.0
+    np.testing.assert_allclose(losses_t, losses_j, rtol=1e-6)
+    # terminal variational state agrees too (accumulated nat-grad updates)
+    np.testing.assert_allclose(np.asarray(state.m), m_t.numpy(), rtol=1e-5,
+                               atol=1e-7 * float(np.abs(m_t.numpy()).max()))
+    np.testing.assert_allclose(np.asarray(state.H), H_t.numpy(), rtol=1e-5,
+                               atol=1e-7 * float(np.abs(H_t.numpy()).max()))
+
+
 def test_natural_gradient_update_parity(setup):
     """The closed-form (m,H) natural-gradient update (training.py:130-137)
     matches the torch replica given identical gradients."""
