@@ -206,8 +206,15 @@ def run_impute(model_dir: str, data_csv: str, out_csv: str,
     else:
         out = forward_fn(model)(vae, data, mask, tmask,
                                 jax.random.PRNGKey(seed), False)
-    mean_rec, mode_rec = mx.statistics(out["params"], het.layout, mcfg.conv)
-    est_grouped = mean_rec if estimator == "mean" else mode_rec
+    if estimator == "sample":
+        # draw one posterior-predictive sample per cell (the reference heads'
+        # `samples` output, loglik.py:68-254) instead of a point estimate
+        est_grouped = mx.sampled_reconstruction(
+            out["params"], het.layout, jax.random.PRNGKey(seed + 1), mcfg.conv)
+    else:
+        mean_rec, mode_rec = mx.statistics(out["params"], het.layout,
+                                           mcfg.conv)
+        est_grouped = mean_rec if estimator == "mean" else mode_rec
     est = np.asarray(est_grouped)[:, het.layout.raw_inv]   # original order
 
     layout = het.layout
@@ -258,7 +265,10 @@ def main(argv=None):
     p.add_argument("--types_csv", default=None,
                    help="types CSV; default: the training run's")
     p.add_argument("--out_csv", required=True)
-    p.add_argument("--estimator", choices=["mean", "mode"], default="mean")
+    p.add_argument("--estimator", choices=["mean", "mode", "sample"],
+                   default="mean",
+                   help="point estimate per cell (mean/mode) or one "
+                        "posterior-predictive sample (sample)")
     p.add_argument("--early_stopping", action="store_true",
                    help="restore the early_best checkpoint instead of final")
     p.add_argument("--ll_csv", default=None,

@@ -77,6 +77,43 @@ def statistics(params_list, layout: TypeLayout, conv: bool,
     return jnp.concatenate(means, axis=1), jnp.concatenate(modes, axis=1)
 
 
+def sampled_reconstruction(params_list, layout: TypeLayout, key, conv: bool):
+    """Raw-space sampled reconstruction [B, n_raw] from likelihood params.
+
+    The reference's likelihood heads each emit a ``samples`` tensor next to
+    the point estimates (loglik.py:68, 118, 141, 184, 211, 254); this is the
+    hlax equivalent, built on the tested ``sample_*`` companions
+    (hlax.ops.likelihoods) and reported in the same grouped raw space as
+    ``statistics`` (cat/ordinal as 0-based class codes, numeric types in
+    data units) so it drops into the same error battery.
+    """
+    import jax
+
+    from hlax.ops import likelihoods as lik
+
+    keys = jax.random.split(key, max(len(layout.groups), 1))
+    blocks = []
+    for g, p, k in zip(layout.groups, params_list, keys):
+        if g.kind == "real":
+            blocks.append(lik.sample_real(p, k))
+        elif g.kind == "pos":
+            blocks.append(lik.sample_pos(p, k))
+        elif g.kind == "count":
+            blocks.append(lik.sample_count(p, k))
+        elif g.kind == "cat":
+            # one-hot sample -> class code (discrete_transform semantics)
+            oh = lik.sample_cat(p, k)
+            blocks.append(jnp.argmax(oh, axis=2).astype(p.dtype))
+        elif g.kind == "ordinal":
+            # thermometer sample -> level code: sum(therm) - 1
+            th = lik.sample_ordinal(p, k)
+            blocks.append(jnp.sum(th, axis=2) - 1.0)
+        else:   # beta
+            ranges = jnp.asarray(np.asarray(layout.beta_ranges), p[0].dtype)
+            blocks.append(lik.sample_beta(p, k, ranges))
+    return jnp.concatenate(blocks, axis=1)
+
+
 def get_norm_terms(x, true_mask):
     """Observed-range per column (HL_VAE/utils.py:216-225)."""
     big = jnp.where(true_mask > 0, x, -jnp.inf)

@@ -60,11 +60,13 @@ def _unseen_rows(ds: LongitudinalDataset, conv: bool,
 
 
 def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
-                    rows: np.ndarray) -> Dict:
-    """Shared mean/mode/imputation error + partial LL computation."""
+                    rows: np.ndarray, sample_seed: int = 0) -> Dict:
+    """Shared mean/mode/sampled/imputation error + partial LL computation."""
     lay = ds.layout
     truth = mx.discrete_transform(data, lay)
     mean_rec, mode_rec = mx.statistics(params, lay, ds.conv)
+    samp_rec = mx.sampled_reconstruction(
+        params, lay, jax.random.PRNGKey(sample_seed), ds.conv)
     tm = jnp.asarray(ds.het.true_mask, data.dtype)
     sub = lambda a: a[jnp.asarray(rows)]
 
@@ -73,6 +75,11 @@ def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
         use_ranges=ds.use_ranges, true_mask=sub(tm))
     _, _, partial_mode = mx.error_computation(
         sub(truth), sub(mode_rec), lay, sub(mask), conv=ds.conv,
+        use_ranges=ds.use_ranges, true_mask=sub(tm))
+    # sampled-reconstruction error: the reference heads' `samples` output
+    # (loglik.py:68-254) evaluated through the same battery
+    _, _, partial_sample = mx.error_computation(
+        sub(truth), sub(samp_rec), lay, sub(mask), conv=ds.conv,
         use_ranges=ds.use_ranges, true_mask=sub(tm))
     imputed = jnp.asarray(mx.mean_imputation(
         np.asarray(sub(truth)), np.asarray(sub(mask)), lay), data.dtype)
@@ -84,9 +91,11 @@ def _metric_battery(model, ds, data, mask, log_p_x, log_p_x_missing, params,
     return {
         "partial_error_mean": jax.device_get(partial_mean),
         "partial_error_mode": jax.device_get(partial_mode),
+        "partial_error_sample": jax.device_get(partial_sample),
         "impt_partial_error": jax.device_get(partial_imp),
         "partial_LL": jax.device_get(partial_ll),
-        "mean_rec": mean_rec, "mode_rec": mode_rec, "truth": truth,
+        "mean_rec": mean_rec, "mode_rec": mode_rec, "sample_rec": samp_rec,
+        "truth": truth,
     }
 
 

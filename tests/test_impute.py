@@ -137,6 +137,41 @@ def test_impute_gp_mode(trained_run, tmp_path):
 
 
 @pytest.mark.slow
+def test_impute_sample_estimator(trained_run, tmp_path):
+    """--estimator sample draws one posterior-predictive sample per missing
+    cell (the reference heads' `samples` output, loglik.py:68-254) instead
+    of the mean/mode point estimate; observed cells still pass through."""
+    raw, miss = trained_run["raw"], trained_run["miss"]
+    out_csv = str(tmp_path / "imputed_sample.csv")
+    impute_cli.main([
+        "--model_dir", trained_run["save"],
+        "--data_csv", os.path.join(trained_run["dir"], "train_data.csv"),
+        "--mask_csv", os.path.join(trained_run["dir"], "train_mask.csv"),
+        "--out_csv", out_csv, "--estimator", "sample",
+    ])
+    imp = np.loadtxt(out_csv, delimiter=",")
+    assert np.isfinite(imp).all()
+    np.testing.assert_allclose(imp[miss == 1], raw[miss == 1], rtol=1e-9)
+    # fills are value-space-valid: cat codes map to the column's own values,
+    # counts are non-negative integers after the +1 unshift, pos is >= 0
+    assert set(np.unique(imp[:, 1])) <= set(np.unique(raw[:, 1]))
+    count_fills = imp[miss[:, 2] == 0, 2]
+    assert (count_fills >= 0).all()
+    np.testing.assert_allclose(count_fills, np.round(count_fills))
+    assert (imp[miss[:, 3] == 0, 3] >= 0).all()
+    # sampling differs from the mean estimate on at least one missing cell
+    out_mean = str(tmp_path / "imputed_mean.csv")
+    impute_cli.main([
+        "--model_dir", trained_run["save"],
+        "--data_csv", os.path.join(trained_run["dir"], "train_data.csv"),
+        "--mask_csv", os.path.join(trained_run["dir"], "train_mask.csv"),
+        "--out_csv", out_mean, "--estimator", "mean",
+    ])
+    mean_imp = np.loadtxt(out_mean, delimiter=",")
+    assert not np.allclose(imp[miss == 0], mean_imp[miss == 0])
+
+
+@pytest.mark.slow
 def test_impute_nan_mask_inference(trained_run, tmp_path):
     """Without --mask_csv, NaN cells are treated as the missing ones."""
     raw, miss = trained_run["raw"], trained_run["miss"]

@@ -122,6 +122,75 @@ def test_statistics_pos_and_count():
     np.testing.assert_allclose(mode[:, i_count], 3.0)
 
 
+def test_sampled_reconstruction_degenerate_params_match_point_estimates():
+    """With degenerate likelihood params (zero variance, peaked logits,
+    near-zero Poisson rate) the sampled reconstruction (loglik.py:68-254
+    `samples` analog) must equal the deterministic estimate, in the same
+    grouped raw space as `statistics`."""
+    import jax
+    raw, ds = _ds(8)
+    lay = ds.layout
+    n = 8
+    params = []
+    want = {}
+    for g in lay.groups:
+        if g.kind == "real":
+            mu = jnp.asarray(RNG.normal(0, 1, (n, 1)))
+            params.append((mu, jnp.zeros((n, 1))))
+            want["real"] = np.asarray(mu)[:, 0]
+        elif g.kind == "cat":
+            codes = RNG.integers(0, g.nclass, n)
+            log_pi = np.full((n, 1, g.nclass), -60.0)
+            log_pi[np.arange(n), 0, codes] = 0.0
+            params.append(jnp.asarray(log_pi))
+            want["cat"] = codes.astype(float)
+        elif g.kind == "ordinal":
+            lv = RNG.integers(0, g.nclass, n)
+            probs = np.full((n, 1, g.nclass), 1e-6)
+            probs[np.arange(n), 0, lv] = 1.0
+            params.append(jnp.asarray(probs))
+            want["ordinal"] = lv.astype(float)
+        else:   # count
+            params.append(jnp.full((n, 1), 1e-9))
+            want["count"] = np.zeros(n)
+    out = np.asarray(mx.sampled_reconstruction(
+        params, lay, jax.random.PRNGKey(3), conv=False))
+    assert out.shape == (n, 4)
+    for g in lay.groups:
+        np.testing.assert_allclose(out[:, g.raw_slice[0]], want[g.kind],
+                                   atol=1e-6)
+
+
+def test_sampled_reconstruction_pos_beta_spaces():
+    """pos samples land in data units (expm1 of the log-normal draw) and
+    beta samples land inside the column's [min, max] range."""
+    import jax
+    lay = encode_raw(
+        np.column_stack([np.linspace(0.5, 4.0, 6), np.linspace(2.0, 8.0, 6)]),
+        [{"type": "pos", "dim": 1, "nclass": 1},
+         {"type": "beta", "dim": 1, "nclass": 1}]).layout
+    n = 6
+    # grouped order: beta < pos (alphabetical kind order)
+    alpha = jnp.full((n, 1), 2.5)
+    beta = jnp.full((n, 1), 3.5)
+    mu = jnp.full((n, 1), 1.0)
+    var = jnp.full((n, 1), 0.04)
+    params = [(alpha, beta), (mu, var)]
+    out = np.asarray(mx.sampled_reconstruction(
+        params, lay, jax.random.PRNGKey(7), conv=False))
+    i_beta = lay.groups[0].raw_slice[0]
+    i_pos = lay.groups[1].raw_slice[0]
+    r = np.asarray(lay.beta_ranges)
+    assert (out[:, i_beta] >= r[0, 0]).all() and (out[:, i_beta] <= r[0, 1]).all()
+    assert (out[:, i_pos] >= 0).all()
+    # pos draws stay near exp(mu)-1 for small var
+    assert np.all(np.abs(out[:, i_pos] - (np.e - 1)) < 1.5)
+    # different key -> different draws (it is actually sampling)
+    out2 = np.asarray(mx.sampled_reconstruction(
+        params, lay, jax.random.PRNGKey(8), conv=False))
+    assert not np.allclose(out, out2)
+
+
 def test_gaussian_to_categorical_bridge():
     """Bucketed-Gaussian categorical density (HL_VAE/utils.py:188-214):
     probabilities normalize and peak at the bucket containing the mean."""
