@@ -67,6 +67,7 @@ class SubjectBlocks(NamedTuple):
     LB: jnp.ndarray          # [L, S, T, T]
     iB: jnp.ndarray          # [L, S, T, T]
     iLB: jnp.ndarray         # [L, S, T, T]   inverse Cholesky factor of B
+    iLK: jnp.ndarray         # [L, M, M]      inverse Cholesky factor of K0zz
 
 
 @_highest_precision
@@ -112,10 +113,11 @@ def subject_blocks(
         iK0zz = jnp.einsum("lkm,lkn->lmn", iLK, iLK)
     else:
         LK0zz = jnp.linalg.cholesky(K0zz)
+        eyeM = jnp.broadcast_to(jnp.eye(M, dtype=dt), LK0zz.shape)
+        iLK = jax.scipy.linalg.solve_triangular(LK0zz, eyeM, lower=True)
         iK0zz = _chol_inverse(LK0zz)
         if extra_spd is not None:
             LEx = jnp.linalg.cholesky(extra_spd.astype(dt))
-            eyeM = jnp.broadcast_to(jnp.eye(M, dtype=dt), LEx.shape)
             iLEx = jax.scipy.linalg.solve_triangular(LEx, eyeM, lower=True)
             extra_fact = (LEx, iLEx)
 
@@ -140,7 +142,7 @@ def subject_blocks(
         K0_st = kernel_matrix(spec0, params0, x_st, x_st) * vo[None]
     else:
         K0_st = jnp.zeros((L, 0, 0, 0), dt)
-    blocks = SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB, iLB)
+    blocks = SubjectBlocks(K0xz, K0zz, LK0zz, iK0zz, K0_st, LB, iB, iLB, iLK)
     return blocks if extra_spd is None else (blocks, extra_fact)
 
 
@@ -231,29 +233,40 @@ def kld_upper_bound(
     grad_m = grad_H = iH_out = None
     if natural_gradient:
         cdt = nat_grad_dtype or x_st.dtype
-        Kz = KziBK.astype(cdt)
         m_c = m.astype(cdt)
         iB_mu = jnp.einsum("lstu,sul->lst", blk.iB, mu_m)
         ng_P1 = jnp.einsum("lstm,lst->lm", blk.K0xz,
                            iB_mu)[:, :, None].astype(cdt)
-        # B_mat = iK·KziBK·iK + iK via triangular SOLVES on the K0zz
-        # Cholesky factor instead of composing the explicit inverse three
-        # times: the explicit composition squares the rounding error of iK
-        # on the (intrinsically near-singular) RBF Nystrom gram, which is
-        # what drove the pure-f32 natural-gradient chain indefinite (CPU
-        # repro: NaN by ~ep75 at canonical scale).  Solves are
-        # backward-stable; mathematically identical.
-        LK = (blk.LK0zz.astype(cdt) if cdt == blk.LK0zz.dtype
-              else jnp.linalg.cholesky(blk.K0zz.astype(cdt)))
-        Y = jax.scipy.linalg.cho_solve((LK, True), Kz)        # iK·Kz
+        # B_mat = iK·KziBK·iK + iK.  Round 2's explicit-inverse composition
+        # iK·Kz·iK squares the rounding error of iK on the (intrinsically
+        # near-singular) RBF Nystrom gram and drove the pure-f32 chain
+        # indefinite (NaN by ~ep75 at canonical scale); round 3 replaced it
+        # with backward-stable cho_solves.  Round 4 replaces the solves with
+        # the WHITENED GRAM composition (same move as whitened_w_factor):
+        #     KziBK = Σ_st Gs^T Gs  with  Gs = iLB·K0xz
+        #  => iK·KziBK·iK + iK = iLK^T (I + C) iLK,
+        #     C = Σ_st G̃^T G̃,  G̃ = iLB·K0xz·iLK^T.
+        # C is PSD in floating point up to O(eps·λmax) and I + C has
+        # eigenvalues >= 1, so the composition never touches the gram's
+        # conditioning squared — stability equals the solve chain's (A/B'd:
+        # 300 canonical epochs, finite, matching loss) while the ~6 batched
+        # [L,M,M] triangular solves (latency-bound XLA custom calls, ~350 us
+        # on a v5e) become 4 MXU batched matmuls (~40 us).
         if cdt == blk.LK0zz.dtype:
+            iLK_c = blk.iLK
             iK_c = blk.iK0zz          # already built by subject_blocks
         else:
+            LK = jnp.linalg.cholesky(blk.K0zz.astype(cdt))
             eyeM = jnp.broadcast_to(jnp.eye(LK.shape[-1], dtype=cdt),
                                     LK.shape)
-            iK_c = jax.scipy.linalg.cho_solve((LK, True), eyeM)
-        B_mat = jax.scipy.linalg.cho_solve(
-            (LK, True), jnp.swapaxes(Y, -1, -2)) + iK_c       # iK·Kzᵀ·iK + iK
+            iLK_c = jax.scipy.linalg.solve_triangular(LK, eyeM, lower=True)
+            iK_c = jnp.einsum("lkm,lkn->lmn", iLK_c, iLK_c)
+        Gw = jnp.einsum("lstu,lsun->lstn", blk.iLB.astype(cdt),
+                        jnp.einsum("lstm,lnm->lstn", blk.K0xz.astype(cdt),
+                                   iLK_c))                    # iLB·K0xz·iLK^T
+        C_w = jnp.einsum("lstm,lstn->lmn", Gw, Gw)            # PSD Gram sum
+        IpC = C_w + jnp.eye(C_w.shape[-1], dtype=cdt)
+        B_mat = jnp.einsum("lpm,lpq,lqn->lmn", iLK_c, IpC, iLK_c)
         B_mat = 0.5 * (B_mat + jnp.swapaxes(B_mat, -1, -2))
         if cdt != H.dtype:
             LH_c = jnp.linalg.cholesky(H.astype(cdt))
@@ -268,7 +281,7 @@ def kld_upper_bound(
     return kld_total, grad_m, grad_H, iH_out
 
 
-def whitened_w_factor(LK0zz, K0xz, iLB, use_pallas_chol: bool = True):
+def whitened_w_factor(iLK, K0xz, iLB, use_pallas_chol: bool = True):
     """Stable factorization of W = K0zz + Kzx·iB·Kxz without factoring W.
 
     Whitening by the K0zz Cholesky factor: W = LK (I + C) LKᵀ with
@@ -288,18 +301,17 @@ def whitened_w_factor(LK0zz, K0xz, iLB, use_pallas_chol: bool = True):
     below zero; a Gram sum is PSD in floating point up to
     O(eps·λmax(C)) ≪ 1.
 
-    Args: LK0zz [L,M,M], K0xz [L,S,T,M] (masked), iLB [L,S,T,T] — all from
-    ``subject_blocks`` (iLB is the inverse Cholesky factor of B it already
-    produced; re-solving it here would duplicate the most expensive
-    per-subject solve on every eval bound/predict call).
+    Args: iLK [L,M,M] (inverse Cholesky factor of K0zz), K0xz [L,S,T,M]
+    (masked), iLB [L,S,T,T] — all from ``subject_blocks``, which already
+    produced both inverse factors; re-solving either here would duplicate
+    the expensive triangular solves on every eval bound/predict call.
     Returns (iLK, LWi, iLWi):
       * logdet W = logdet K0zz + 2·Σ log diag LWi,
       * inv(W)   = iLKᵀ · iLWiᵀ · iLWi · iLK,
       * ‖iLW·p‖² with iLW = iLWi·iLK gives the W-quadratic forms.
     """
-    M = LK0zz.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(M, dtype=LK0zz.dtype), LK0zz.shape)
-    iLK = jax.scipy.linalg.solve_triangular(LK0zz, eye, lower=True)
+    M = iLK.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(M, dtype=iLK.dtype), iLK.shape)
     A = jnp.einsum("lstm,lnm->lstn", K0xz, iLK)      # K0xz·iLKᵀ [L,S,T,M]
     G = jnp.einsum("lstu,lsun->lstn", iLB, A)        # [L,S,T,M]
     C = jnp.einsum("lstm,lstn->lmn", G, G)           # Gram sum: PSD
@@ -328,7 +340,7 @@ def deviance_upper_bound(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.iLB)
+    iLK, LWi, iLWi = whitened_w_factor(blk.iLK, blk.K0xz, blk.iLB)
 
     # logDetSigma = -logdet K0zz + logdet B + logdet W, and
     # logdet W = logdet K0zz + logdet(I + C): the K0zz terms cancel
@@ -380,7 +392,7 @@ def sample_elbo(
 
     iB_K0xz = jnp.einsum("lstu,lsum->lstm", blk.iB, blk.K0xz)
     KziBK = jnp.einsum("lstm,lstn->lmn", blk.K0xz, iB_K0xz)
-    iLK, LWi, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.iLB)
+    iLK, LWi, iLWi = whitened_w_factor(blk.iLK, blk.K0xz, blk.iLB)
 
     # -logdet K0zz + logdet W = logdet(I + C): K0zz cancels (see DUBO)
     logDet = (jnp.sum(_logdet_from_chol(blk.LB), axis=-1)

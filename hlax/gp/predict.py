@@ -71,7 +71,7 @@ def batch_predict(
     # H = K0zz + KziBK is SPD but ill-conditioned on trained kernels; solve
     # through the whitened factorization (float32-stable, see
     # gp/elbo.py::whitened_w_factor): inv(H) = iLKᵀ·iLWiᵀ·iLWi·iLK
-    iLK, _, iLWi = whitened_w_factor(blk.LK0zz, blk.K0xz, blk.iLB)
+    iLK, _, iLWi = whitened_w_factor(blk.iLK, blk.K0xz, blk.iLB)
     t1 = jnp.einsum("lmn,lno->lmo", iLWi,
                     jnp.einsum("lmn,lno->lmo", iLK, t))
     s = jnp.einsum("lnm,lno->lmo", iLK,
