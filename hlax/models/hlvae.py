@@ -62,6 +62,12 @@ def _log_vy_init(vy: float) -> float:
     return math.log(vy - math.exp(lik.MIN_LOG_VY))
 
 
+def _pool_2x2_fwd_only(h):
+    B, H, W, C = h.shape
+    return h.reshape(B, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
+
+
+@jax.custom_vjp
 def _max_pool_2x2(h):
     """2x2 stride-2 max pool via reshape + max (HLVAE.py:151 MaxPool2d(2,2)).
 
@@ -69,12 +75,34 @@ def _max_pool_2x2(h):
     spatial dims, but lowers to a plain max reduction instead of
     ``reduce_window`` — whose VJP emits a ``select_and_scatter`` HLO that the
     TPU x64 rewrite cannot legalize, blocking float64 conv training on the
-    chip.  (Gradient tie-breaking differs on exactly-tied window maxima:
-    reduce-max splits the cotangent across ties where select_and_scatter
-    picks one; ties have measure zero for continuous activations.)"""
+    chip.
+
+    Custom VJP: a single eq-mask select (``where(h == pooled, g, 0)``).
+    jnp's reduce-max pullback adds a tie-count reduction + divide over the
+    full pre-pool tensor — on the [B*T, 36, 36, 16] conv1 activation that
+    second bandwidth-bound pass is ~30 us/step of the canonical program
+    (measured on v5e, NOTES.md round-4).  Tie behavior differs only on
+    exactly-tied window maxima (measure zero for continuous activations):
+    this mask replicates the cotangent to every tied element where
+    reduce-max splits it evenly and torch's MaxPool2d picks one winner."""
+    return _pool_2x2_fwd_only(h)
+
+
+def _pool_2x2_vjp_fwd(h):
+    o = _pool_2x2_fwd_only(h)
+    return o, (h, o)
+
+
+def _pool_2x2_vjp_bwd(res, g):
+    h, o = res
     B, H, W, C = h.shape
-    h = h.reshape(B, H // 2, 2, W // 2, 2, C)
-    return h.max(axis=(2, 4))
+    hr = h.reshape(B, H // 2, 2, W // 2, 2, C)
+    gb = jnp.where(hr == o[:, :, None, :, None, :],
+                   g[:, :, None, :, None, :], 0).astype(h.dtype)
+    return (gb.reshape(h.shape),)
+
+
+_max_pool_2x2.defvjp(_pool_2x2_vjp_fwd, _pool_2x2_vjp_bwd)
 
 
 class _MLP(nn.Module):

@@ -375,6 +375,163 @@ def logdet_from_chol(l):
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1)
 
 
+# largest M the single-pass VMEM-resident mid kernel handles: a [128,128,128]
+# f32 buffer is 8MB and the kernel holds ~3 of them + panel temporaries,
+# comfortably inside the raised 100MB VMEM limit on one v5e core.
+MAX_MID_M = 128
+
+
+def _use_fallback_mid(a) -> bool:
+    """Mid kernel usable on TPU f32 (or CPU in interpret mode when forced)."""
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        return not FORCE_PALLAS
+    return a.dtype == jnp.float64
+
+
+def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int):
+    """Single-pass blocked Cholesky + triangular inverse of ONE 128-lane
+    batch block, matrix resident in VMEM.
+
+    Layout: [row(untiled), col(sublane), batch(lane)] — ``lt_ref`` starts as
+    the SPD input A (input_output_aliased) and ends as L^T; ``il_ref`` ends
+    as L^{-1}.  The factorization runs UNMASKED symmetric rank-1 updates:
+    after step p the matrix stays symmetric with row/column p exactly zero,
+    so every pivot column is readable as BOTH a sublane slice a[:, p]
+    (untiled view, for the update's row factor) and an untiled slice a[p]
+    (sublane view, for the column factor) — no transposes, ever.  Finished
+    L^T rows are written back into the zeroed rows of the (consumed) input
+    buffer, which is why the L-column reads are masked to iota >= p.
+
+    Internally blocked by ``bk`` columns: rank-1 updates touch only the
+    current panel (all rows >= t) plus its mirror rows, and each completed
+    panel applies one fused rank-bk Schur update to the trailing symmetric
+    submatrix — O(M^3/3) total VPU work instead of O(M^3) full-matrix
+    rank-1s.  The inverse accumulates the elementary-factor updates of
+    ``_kernel`` restricted to the live region (rows >= t, cols < t+bk).
+
+    Replaces the jax-level block composition for 48 < M <= 128: that path
+    emitted ~60 tiny XLA ops per call and routed its [*,24,24] diagonal
+    blocks through the batch-on-(sublane x lane) kernel, which pads any
+    batch up to tile*128 = 1024 — 16x wasted work at the training bound's
+    batch of 32-64 (measured 338 us for [64,120,120] on a v5e; this kernel:
+    see NOTES.md round-4 measurements).
+    """
+    nb = mp // bk
+    # Mosaic: never int-index the sublane (middle) dim — collapsing it
+    # forces a cross-tile relayout/gather the lowering rejects; width-1
+    # slices keep every access a plain (possibly shifted) vector load.
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (m, mp, 1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (m, mp, 1), 1)
+           ).astype(lt_ref.dtype)
+    il_ref[:] = jnp.broadcast_to(eye, (m, mp, il_ref.shape[-1]))
+    for k in range(nb):
+        t, t2 = k * bk, (k + 1) * bk
+        for j in range(bk):
+            p = t + j
+            inv = jax.lax.rsqrt(lt_ref[p, p:p + 1])         # [1, 128]
+            ls = lt_ref[p] * inv                            # [Mp, 128]
+            cu = lt_ref[:, p:p + 1, :]                      # [M, 1, 128]
+            lu_j = jnp.where(iota_u >= p, cu * inv[None], 0.0)
+            lu_ref[:, j:j + 1, :] = lu_j
+            # inverse: row p scales by 1/d, rows below subtract L[i,p]/d row_p
+            vj = il_ref[p, 0:t2]                            # [t2, 128]
+            f = jnp.where(iota_u[t:] == p, 1.0 - inv[None], lu_j[t:] * inv[None])
+            il_ref[t:, 0:t2] = il_ref[t:, 0:t2] - f * vj[None]
+            # symmetric rank-1 on the panel + its mirror rows.  NB
+            # ls[None, t:t2] (newaxis + slice in one indexing expression)
+            # traces to a lax.gather, which Mosaic cannot lower — slice
+            # explicitly, then expand.
+            sl = lambda lo, hi: jax.lax.slice_in_dim(ls, lo, hi, axis=0)[None]
+            lt_ref[t:, t:t2] = lt_ref[t:, t:t2] - lu_j[t:] * sl(t, t2)
+            if t2 < mp:
+                lt_ref[t:t2, t2:] = (lt_ref[t:t2, t2:]
+                                     - lu_j[t:t2] * sl(t2, mp))
+            lt_ref[p] = ls                                  # finished L^T row
+        if t2 < mp:
+            # fused rank-bk Schur update of the trailing symmetric block
+            upd = sum(lu_ref[t2:, j:j + 1, :] * lt_ref[t + j, t2:][None]
+                      for j in range(bk))
+            lt_ref[t2:, t2:] = lt_ref[t2:, t2:] - upd
+
+
+def _mid_block_index_map(i):
+    z = i * 0
+    return (z, z, i)
+
+
+def _chol_inv_mid_batched(a):
+    """Pallas (L, iL) of a [..., M, M] for 48 < M <= 128: pack the batch
+    onto 128-lane blocks (identity padding), one single-pass kernel call
+    per block."""
+    m = a.shape[-1]
+    mp = ((m + 7) // 8) * 8
+    bk = mp // max(1, mp // 32)          # largest block size <= 32 dividing mp
+    while mp % bk or bk % 8:
+        bk -= 1
+    batch_shape = a.shape[:-2]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    b_pad = ((b + 127) // 128) * 128
+    a_t = jnp.moveaxis(a.reshape(b, m, m), 0, -1)            # [M, M, B]
+    eye_m = jnp.eye(mp, dtype=a.dtype)
+    if mp != m:
+        # identity-extend the matrix padding rows/cols (keeps SPD)
+        a_t = jnp.pad(a_t, ((0, mp - m), (0, mp - m), (0, 0))) \
+            + (eye_m[:, :, None] - jnp.pad(jnp.eye(m, dtype=a.dtype),
+                                           ((0, mp - m), (0, mp - m)))[:, :, None])
+    if b_pad != b:
+        pad = jnp.broadcast_to(eye_m[:, :, None], (mp, mp, b_pad - b))
+        a_t = jnp.concatenate([a_t, pad], axis=-1)
+    spec = pl.BlockSpec((mp, mp, 128), _mid_block_index_map,
+                        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)
+    lt_t, il_t = pl.pallas_call(
+        functools.partial(_mid_kernel, m=mp, mp=mp, bk=bk),
+        grid=(b_pad // 128,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((mp, bk, 128), a.dtype)],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(a_t)
+    shape = batch_shape + (m, m)
+    unpack = lambda x: jnp.moveaxis(
+        x[:m, :m, :b], -1, 0).reshape(shape)
+    # lt is L^T in (row, col) -> transpose back to L
+    return jnp.swapaxes(unpack(lt_t), -1, -2), unpack(il_t)
+
+
+@jax.custom_vjp
+def _chol_inv_mid(a):
+    mesh = _ambient_mesh()
+    if mesh is None:
+        return _chol_inv_mid_batched(a)
+    spec = _batch_partition_spec(mesh, a.shape, a.ndim - 2)
+    return jax.shard_map(_chol_inv_mid_batched, mesh=mesh, in_specs=spec,
+                         out_specs=(spec, spec), check_vma=False)(a)
+
+
+def _mid_fwd(a):
+    l, il = _chol_inv_mid(a)
+    return (l, il), (l, il)
+
+
+def _mid_bwd(res, grads):
+    # matmul-only reference pullback: at M ~ 120 these are MXU-friendly
+    # [*, M, M] batched matmuls (~0.7 GFLOP at the training bound's batch),
+    # unlike the T ~ 20 case where the Pallas backward kernel pays off
+    l, il = res
+    l_bar, il_bar = grads
+    return _bwd_reference(l, il, l_bar, il_bar)
+
+
+_chol_inv_mid.defvjp(_mid_fwd, _mid_bwd)
+
+
 def _largest_block(m: int, cap: int) -> int:
     """Largest divisor of m that is <= cap and >= 8 (0 if none)."""
     for cand in range(min(cap, m), 7, -1):
@@ -414,6 +571,8 @@ def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     m = a.shape[-1]
     if m <= MAX_DIAG_BLOCK:
         return chol_inv_small(a)
+    if m <= MAX_MID_M and not _use_fallback_mid(a):
+        return _chol_inv_mid(a)
     b = _largest_block(m, MAX_DIAG_BLOCK)
     probe = jnp.zeros(a.shape[:-2] + (b, b), a.dtype)
     if b == 0 or _use_fallback(probe, n_bufs=5):

@@ -165,3 +165,47 @@ def test_blocked_small_m_delegates():
     l2, il2 = ls.chol_inv_small(a)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(il1), np.asarray(il2))
+
+
+def test_mid_kernel_matches_numpy():
+    """The single-pass mid kernel (48 < M <= 128) reproduces numpy's
+    Cholesky and its triangular inverse, including a non-multiple-of-8 M
+    (identity padding) and a batch crossing one 128-lane block."""
+    rng = np.random.default_rng(7)
+    for m, bshape in [(56, (3,)), (60, (2, 2))]:
+        a = _spd_b(rng, bshape, m)
+        l, il = ls._chol_inv_mid(jnp.asarray(a))
+        want = np.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(l), want, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(il) @ want,
+            np.broadcast_to(np.eye(m), a.shape), atol=5e-3)
+
+
+def test_blocked_routes_mid_sizes_through_mid_kernel():
+    """chol_inv_blocked dispatches 48 < M <= MAX_MID_M to the mid kernel
+    (same bits), and its custom-VJP gradient matches the XLA path."""
+    rng = np.random.default_rng(8)
+    m = 56
+    a = jnp.asarray(_spd_b(rng, (2,), m))
+    l1, il1 = ls.chol_inv_blocked(a)
+    l2, il2 = ls._chol_inv_mid(a)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(il1), np.asarray(il2))
+
+    wl = jnp.asarray(rng.normal(size=(2, m, m)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(size=(2, m, m)).astype(np.float32))
+
+    def f_mid(x):
+        l, il = ls.chol_inv_blocked(x)
+        return jnp.sum(l * wl) + jnp.sum(il * wi)
+
+    def f_xla(x):
+        l = jnp.linalg.cholesky(x)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=x.dtype), x.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return jnp.sum(l * wl) + jnp.sum(il * wi)
+
+    ga, gb = jax.grad(f_mid)(a), jax.grad(f_xla)(a)
+    sym = lambda g: np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2)
+    np.testing.assert_allclose(sym(ga), sym(gb), rtol=5e-3, atol=5e-3)
