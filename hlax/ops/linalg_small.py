@@ -75,10 +75,15 @@ def _kernel(a_ref, l_ref, il_ref, t: int):
             ).astype(dtype)
     il_ref[:] = eye4
 
+    # NB every literal below must be dtype-typed: under jax_enable_x64 a
+    # weak Python 0.0 enters the kernel as an f64 constant, and 64-bit
+    # values inside a Mosaic program abort the TPU compiler
+    # (layout.h bitwidth check) — scalars are tolerated, vectors are not.
+    zero = jnp.zeros((), dtype)
     for j in range(t):
         inv = jax.lax.rsqrt(a_ref[j, j])                    # [Bs, 128] pivot
         colj = a_ref[j]                                     # [T, Bs, 128]
-        lj = jnp.where(lead >= j, colj * inv[None], 0.0)    # column j of L
+        lj = jnp.where(lead >= j, colj * inv[None], zero)   # column j of L
         l_ref[j] = lj
         a_ref[:] = a_ref[:] - lj[:, None] * lj[None, :]
         vj = il_ref[:, j]                                   # row j of V
@@ -271,8 +276,10 @@ def _bwd_kernel(l_ref, il_ref, lb_ref, ilb_ref, out_ref, t: int):
     i_ = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1, 1), 0)
     j_ = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1, 1), 1)
     tril = (i_ >= j_).astype(dtype)
-    phi = jnp.where(i_ > j_, 1.0,
-                    jnp.where(i_ == j_, 0.5, 0.0)).astype(dtype)
+    # arithmetic form (strict-lower 1, diag 0.5, upper 0): jnp.where with
+    # Python float literals builds f64 VECTOR constants under x64, which
+    # abort the Mosaic TPU compile (layout.h bitwidth check)
+    phi = tril - 0.5 * (i_ == j_).astype(dtype)
 
     # Lb2 = Lb + tril(-iL^T iLb iL^T)
     lb2 = lb - tril * ABT(ATB(il, ilb), il)
@@ -433,7 +440,9 @@ def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int):
             inv = jax.lax.rsqrt(lt_ref[p, p:p + 1])         # [1, 128]
             ls = lt_ref[p] * inv                            # [Mp, 128]
             cu = lt_ref[:, p:p + 1, :]                      # [M, 1, 128]
-            lu_j = jnp.where(iota_u >= p, cu * inv[None], 0.0)
+            # dtype-typed zero: a weak 0.0 is an f64 constant under x64
+            lu_j = jnp.where(iota_u >= p, cu * inv[None],
+                             jnp.zeros((), lt_ref.dtype))
             lu_ref[:, j:j + 1, :] = lu_j
             # inverse: row p scales by 1/d, rows below subtract L[i,p]/d row_p
             vj = il_ref[p, 0:t2]                            # [t2, 128]

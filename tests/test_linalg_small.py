@@ -209,3 +209,42 @@ def test_blocked_routes_mid_sizes_through_mid_kernel():
     ga, gb = jax.grad(f_mid)(a), jax.grad(f_xla)(a)
     sym = lambda g: np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2)
     np.testing.assert_allclose(sym(ga), sym(gb), rtol=5e-3, atol=5e-3)
+
+
+def test_kernels_emit_no_64bit_values_under_x64():
+    """Under jax_enable_x64, weak Python float literals (0.0/0.5) become
+    f64 constants INSIDE the Pallas kernels; 64-bit vector values abort the
+    Mosaic TPU compile (layout.h bitwidth check — crashed the toy-scale CLI
+    on chip, where the T<=16 backward kernel is live).  Assert the traced
+    kernel jaxprs are 64-bit-free."""
+    old = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(3)
+        a8 = jnp.asarray(_spd_b(rng, (4,), 8))
+        a56 = jnp.asarray(_spd_b(rng, (2,), 56))
+
+        def g(x):
+            l, il = ls.chol_inv_small(x)
+            return jnp.sum(l) + jnp.sum(il)
+
+        bad = []
+
+        def scan(jx, path):
+            for eqn in jx.eqns:
+                if eqn.primitive.name == "pallas_call":
+                    kj = str(eqn.params["jaxpr"])
+                    n = kj.count("f64") + kj.count("i64") + kj.count("u64")
+                    if n:
+                        bad.append((path, n))
+                for v in eqn.params.values():
+                    if hasattr(v, "eqns"):
+                        scan(v, path + "/" + eqn.primitive.name)
+                    elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                        scan(v.jaxpr, path + "/" + eqn.primitive.name)
+
+        scan(jax.make_jaxpr(jax.grad(g))(a8).jaxpr, "grad_small")
+        scan(jax.make_jaxpr(ls._chol_inv_mid)(a56).jaxpr, "mid")
+        assert not bad, f"64-bit values inside Pallas kernels: {bad}"
+    finally:
+        jax.config.update("jax_enable_x64", old)
