@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from hlax.ops import convfuse as cf
 from hlax.ops import likelihoods as lik
 from hlax.ops.normalization import NormParams, batch_normalization
 from hlax.types import TypeLayout
@@ -47,6 +48,12 @@ class HLVAEConfig:
     vy_fixed: bool = False
     image_side: int = 36
     dtype: object = jnp.float32
+    # Lower the image stack as pool-fused patch matmuls (hlax.ops.convfuse)
+    # instead of XLA's conv lowerings — exactly equivalent (same params,
+    # summation reordered; tested values+grads) but MXU-shaped: the tiny
+    # 1->16->32-channel convs otherwise run the 128x128 systolic array
+    # nearly empty (round-3 profile: VAE fwd+bwd was half the train step).
+    fused_conv: bool = True
 
     @property
     def n_raw(self) -> int:
@@ -105,6 +112,22 @@ def _pool_2x2_vjp_bwd(res, g):
 _max_pool_2x2.defvjp(_pool_2x2_vjp_fwd, _pool_2x2_vjp_bwd)
 
 
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv/nn.ConvTranspose's exact param tree
+    (same names, shapes, and default initializers under the same scope ->
+    bit-identical init draws and checkpoint compatibility); the parent
+    applies the math via hlax.ops.convfuse — fused patch-matmul path or
+    the exact lax lowering."""
+    kshape: Tuple[int, int, int, int]   # [kh, kw, in_feat, out_feat]
+    dtype: object
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.kshape, self.dtype)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.kshape[-1],), self.dtype)
+
+
 class _MLP(nn.Module):
     features: Sequence[int]
     dtype: object
@@ -138,10 +161,8 @@ class HLVAE(nn.Module):
                     rep_b[str(gi)] = self.param(
                         f"rep_b_{gi}", _INIT, (g.n_vars,), dt)
             self._rep_w, self._rep_b = rep_w, rep_b
-            self.conv1 = nn.Conv(16, (3, 3), padding="SAME",
-                                 dtype=dt, param_dtype=dt)
-            self.conv2 = nn.Conv(32, (3, 3), padding="SAME",
-                                 dtype=dt, param_dtype=dt)
+            self.conv1 = _ConvParams((3, 3, 1, 16), dt)
+            self.conv2 = _ConvParams((3, 3, 16, 32), dt)
         self.enc_mlp = _MLP(cfg.h_dims, dt)
         self.mean_layer = nn.Dense(cfg.z_dim, kernel_init=_INIT, bias_init=_INIT,
                                    dtype=dt, param_dtype=dt)
@@ -155,10 +176,8 @@ class HLVAE(nn.Module):
         self.y_layer = nn.Dense(y_out, kernel_init=_INIT, bias_init=_INIT,
                                 dtype=dt, param_dtype=dt)
         if cfg.conv:
-            self.deconv1 = nn.ConvTranspose(16, (4, 4), strides=(2, 2),
-                                            padding="SAME", dtype=dt, param_dtype=dt)
-            self.deconv2 = nn.ConvTranspose(cfg.y_dim, (4, 4), strides=(2, 2),
-                                            padding="SAME", dtype=dt, param_dtype=dt)
+            self.deconv1 = _ConvParams((4, 4, 32, 16), dt)
+            self.deconv2 = _ConvParams((4, 4, 16, cfg.y_dim), dt)
 
         # --- observation heads (HLVAE.py:11-102) -----------------------
         obs = {}
@@ -232,10 +251,16 @@ class HLVAE(nn.Module):
             img = one_to_one[:, jnp.asarray(lay.raw_inv)]
             s = cfg.image_side
             img = img.reshape(-1, s, s, 1)
-            h = nn.relu(self.conv1(img))
-            h = _max_pool_2x2(h)
-            h = nn.relu(self.conv2(h))
-            h = _max_pool_2x2(h)
+            if cfg.fused_conv:
+                h = cf.conv_pool_fused(img, self.conv1.kernel, self.conv1.bias)
+                h = cf.conv_pool_fused(h, self.conv2.kernel, self.conv2.bias)
+            else:
+                h = nn.relu(cf.conv3x3_same(img, self.conv1.kernel,
+                                            self.conv1.bias))
+                h = _max_pool_2x2(h)
+                h = nn.relu(cf.conv3x3_same(h, self.conv2.kernel,
+                                            self.conv2.bias))
+                h = _max_pool_2x2(h)
             enc_in = h.reshape(h.shape[0], -1)
         else:
             enc_in = norm_data
@@ -257,8 +282,16 @@ class HLVAE(nn.Module):
         if cfg.conv:
             feat = cfg.image_side // 4
             y = y.reshape(-1, feat, feat, 32)
-            y = nn.relu(self.deconv1(y))
-            y = self.deconv2(y)                      # [B, 36, 36, y_dim]
+            if cfg.fused_conv:
+                y = nn.relu(cf.conv_transpose_fused(
+                    y, self.deconv1.kernel, self.deconv1.bias))
+                y = cf.conv_transpose_fused(
+                    y, self.deconv2.kernel, self.deconv2.bias)
+            else:
+                y = nn.relu(cf.conv_transpose4x4_s2(
+                    y, self.deconv1.kernel, self.deconv1.bias))
+                y = cf.conv_transpose4x4_s2(
+                    y, self.deconv2.kernel, self.deconv2.bias)   # [B,36,36,y]
             y = y.reshape(y.shape[0], -1, cfg.y_dim)   # original pixel order
             y = y[:, jnp.asarray(cfg.layout.raw_perm), :]   # -> grouped order
         else:

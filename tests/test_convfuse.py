@@ -1,0 +1,148 @@
+"""Equivalence tests: fused patch-matmul conv ops vs the lax/flax lowerings.
+
+The fused forms (hlax/ops/convfuse.py) must match
+``flax.linen.Conv(O, (3,3), SAME)`` + relu + 2x2 maxpool and
+``flax.linen.ConvTranspose(O, (4,4), (2,2), SAME)`` exactly (same params,
+reordered summation) — values AND gradients, f32 and f64, at every
+geometry the HLVAE image path uses (reference stack: HLVAE.py:140-160).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from hlax.ops import convfuse as cf
+
+_RNG = np.random.default_rng(1234)
+
+
+def _pool22(r):
+    B, H, W, O = r.shape
+    return r.reshape(B, H // 2, 2, W // 2, 2, O).max(axis=(2, 4))
+
+
+# the four geometries the model uses: encoder 36x36x1->16, 18x18x16->32;
+# decoder 9x9x32->16, 18x18x16->5
+ENC = [(1, 16, 36), (16, 32, 18)]
+DEC = [(32, 16, 9), (16, 5, 18)]
+
+
+@pytest.mark.parametrize("C,O,S", ENC)
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_conv_pool_fused_matches_flax(C, O, S, dt):
+    if dt == np.float64 and not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    x = jnp.asarray(_RNG.normal(size=(3, S, S, C)).astype(dt))
+    k = jnp.asarray(_RNG.normal(size=(3, 3, C, O)).astype(dt))
+    b = jnp.asarray(_RNG.normal(size=(O,)).astype(dt))
+
+    flax_out = nn.Conv(O, (3, 3), padding="SAME", dtype=dt, param_dtype=dt).apply(
+        {"params": {"kernel": k, "bias": b}}, x)
+    want = _pool22(jax.nn.relu(flax_out))
+    got = cf.conv_pool_fused(x, k, b)
+    tol = 1e-11 if dt == np.float64 else 2e-5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+
+    # gradients (input, kernel, bias) through a random cotangent
+    w = jnp.asarray(_RNG.normal(size=got.shape).astype(dt))
+    g_f = jax.grad(lambda *a: jnp.sum(cf.conv_pool_fused(*a) * w), (0, 1, 2))(x, k, b)
+    g_r = jax.grad(
+        lambda x, k, b: jnp.sum(_pool22(jax.nn.relu(cf.conv3x3_same(x, k, b))) * w),
+        (0, 1, 2))(x, k, b)
+    gtol = 1e-9 if dt == np.float64 else 2e-4
+    for a, c in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=gtol, atol=gtol)
+
+
+@pytest.mark.parametrize("C,O,S", DEC)
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_conv_transpose_fused_matches_flax(C, O, S, dt):
+    if dt == np.float64 and not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    x = jnp.asarray(_RNG.normal(size=(3, S, S, C)).astype(dt))
+    k = jnp.asarray(_RNG.normal(size=(4, 4, C, O)).astype(dt))
+    b = jnp.asarray(_RNG.normal(size=(O,)).astype(dt))
+
+    want = nn.ConvTranspose(O, (4, 4), strides=(2, 2), padding="SAME",
+                            dtype=dt, param_dtype=dt).apply(
+        {"params": {"kernel": k, "bias": b}}, x)
+    got = cf.conv_transpose_fused(x, k, b)
+    assert got.shape == want.shape == (3, 2 * S, 2 * S, O)
+    tol = 1e-11 if dt == np.float64 else 5e-4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+
+    w = jnp.asarray(_RNG.normal(size=got.shape).astype(dt))
+    g_f = jax.grad(lambda *a: jnp.sum(cf.conv_transpose_fused(*a) * w),
+                   (0, 1, 2))(x, k, b)
+    g_r = jax.grad(lambda *a: jnp.sum(cf.conv_transpose4x4_s2(*a) * w),
+                   (0, 1, 2))(x, k, b)
+    gtol = 1e-9 if dt == np.float64 else 2e-3
+    for a, c in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=gtol, atol=gtol)
+
+
+def test_full_model_fused_matches_unfused():
+    """Same params, fused vs lax conv stack: identical model outputs and
+    gradients (the fused path is a pure re-lowering, not a new model)."""
+    import dataclasses
+
+    from hlax.data.reader import encode_raw
+    from hlax.models import HLVAE, HLVAEConfig, nll_from_log_p
+
+    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
+             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
+    n = 4
+    raw = np.column_stack([
+        _RNG.random((n, 324)) * 255,
+        _RNG.integers(0, 5, (n, 972)).astype(float),
+    ])
+    ds = encode_raw(raw, types)
+    key = jax.random.PRNGKey(0)
+    data = jnp.array(ds.data, jnp.float32)
+    mask = jnp.array(ds.mask, jnp.float32)
+    tmask = jnp.array(ds.theta_mask, jnp.float32)
+
+    cfg_f = HLVAEConfig(layout=ds.layout, z_dim=8, h_dims=(32,), y_dim=5,
+                        conv=True, dtype=jnp.float32, fused_conv=True)
+    cfg_u = dataclasses.replace(cfg_f, fused_conv=False)
+    m_f, m_u = HLVAE(cfg_f), HLVAE(cfg_u)
+    params = m_f.init(key, data, mask, tmask, key)
+    # identical param trees (the container matches nn.Conv's paths/shapes)
+    pu = m_u.init(key, data, mask, tmask, key)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pu)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(pu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_f = m_f.apply(params, data, mask, tmask, key)
+    out_u = m_u.apply(params, data, mask, tmask, key)
+    np.testing.assert_allclose(np.asarray(out_f["log_p_x"]),
+                               np.asarray(out_u["log_p_x"]),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        def f(p):
+            o = m.apply(p, data, mask, tmask, key)
+            return jnp.sum(nll_from_log_p(o["log_p_x"]))
+        return f
+
+    g_f = jax.grad(loss(m_f))(params)
+    g_u = jax.grad(loss(m_u))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_relu_max_uv_tie_grad_is_replicating():
+    """On exact window ties the eq-mask replicates the cotangent to every
+    tied positive element (documented deviation from tie-splitting)."""
+    y = jnp.zeros((1, 1, 1, 2, 2, 1)).at[0, 0, 0, :, :, 0].set(
+        jnp.array([[2.0, 2.0], [-1.0, 1.0]]))
+    g = jax.grad(lambda y: jnp.sum(cf._relu_max_uv(y)))(y)
+    np.testing.assert_array_equal(
+        np.asarray(g)[0, 0, 0, :, :, 0], np.array([[1.0, 1.0], [0.0, 0.0]]))
