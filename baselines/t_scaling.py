@@ -96,7 +96,14 @@ def run(T, P=200, S_BATCH=20, epochs=10):
 
 
 if __name__ == "__main__":
-    results = {str(T): run(T) for T in (20, 50, 100)}
+    # Beyond T=100 the subject batch shrinks with T (a real T=500
+    # longitudinal study has few subjects; holding S_BATCH=20 would put a
+    # 6.4 GB [32,20,500,500] block batch in HBM).  rows_per_sec stays the
+    # comparable throughput metric.  T=200/500 exercise the mid-kernel
+    # diagonal-block path of chol_inv_blocked (2x100 / 4x125 blocks).
+    grid = [(20, 200, 20), (50, 200, 20), (100, 200, 20),
+            (200, 40, 4), (500, 20, 2)]
+    results = {str(T): run(T, P=P, S_BATCH=S) for T, P, S in grid}
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "t_scaling.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -131,7 +131,11 @@ def subject_blocks(
         # the gradient-free paths (prediction / DUBO / eval, 2.4x) AND inside
         # the training step (honest on-chip A/B: 4.94 vs 7.04 ms full step —
         # round 2's opposite conclusion was an enqueue-rate timing artifact).
-        LB, iLB = chol_inv_small(B_st)
+        # chol_inv_blocked dispatches on T: <=48 the unrolled batch-on-lanes
+        # kernel (canonical T=20), <=128 the single-pass mid kernel, beyond
+        # that mid-kernel diagonal blocks + MXU panels (the T >> 100
+        # longitudinal regime, SURVEY §5 — XLA otherwise serializes these).
+        LB, iLB = chol_inv_blocked(B_st)
     else:
         LB = jnp.linalg.cholesky(B_st)
         iLB = jax.scipy.linalg.solve_triangular(

@@ -574,6 +574,12 @@ def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     (same factor, same inverse up to f32 rounding); differentiable through
     the composition (chol_inv_small carries a custom VJP).
 
+    For M > MAX_MID_M (the longitudinal T >> 100 regime, SURVEY §5), the
+    diagonal blocks themselves go through the single-pass mid kernel, so
+    e.g. T=500 factorizes as FOUR 125-blocks with all panels/Schur updates
+    as [*, 125, 125] MXU matmuls — instead of 21 tiny 24-blocks whose
+    O(nb^3) inverse-assembly would bloat the program.
+
     Falls back to XLA whenever the small kernel would (CPU without
     FORCE_PALLAS, float64 on TPU) or when M has no divisor in [8, 24].
     """
@@ -582,13 +588,15 @@ def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return chol_inv_small(a)
     if m <= MAX_MID_M and not _use_fallback_mid(a):
         return _chol_inv_mid(a)
-    b = _largest_block(m, MAX_DIAG_BLOCK)
-    probe = jnp.zeros(a.shape[:-2] + (b, b), a.dtype)
-    if b == 0 or _use_fallback(probe, n_bufs=5):
+    mid_ok = not _use_fallback_mid(a)
+    b = _largest_block(m, MAX_MID_M if mid_ok else MAX_DIAG_BLOCK)
+    probe = jnp.zeros(a.shape[:-2] + (min(b, MAX_DIAG_BLOCK),) * 2, a.dtype)
+    if b == 0 or (b <= MAX_DIAG_BLOCK and _use_fallback(probe, n_bufs=5)):
         l = jnp.linalg.cholesky(a)
         eye = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), a.shape)
         il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
         return l, il
+    diag_fact = _chol_inv_mid if b > MAX_DIAG_BLOCK else chol_inv_small
 
     nb = m // b
     blk = lambda i, j: jax.lax.slice_in_dim(
@@ -603,7 +611,7 @@ def chol_inv_blocked(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             s = blk(k, k)
             for j in range(k):
                 s = s - jnp.matmul(L[k][j], T(L[k][j]))
-            L[k][k], iL[k][k] = chol_inv_small(s)
+            L[k][k], iL[k][k] = diag_fact(s)
             for i in range(k + 1, nb):
                 p = blk(i, k)
                 for j in range(k):

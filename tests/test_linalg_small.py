@@ -248,3 +248,35 @@ def test_kernels_emit_no_64bit_values_under_x64():
         assert not bad, f"64-bit values inside Pallas kernels: {bad}"
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+@pytest.mark.slow
+def test_blocked_large_t_mid_diag_blocks():
+    """M > MAX_MID_M routes diagonal blocks through the mid kernel (the
+    T >> 100 longitudinal regime): M=144 -> two 72-blocks.  Factor and
+    inverse match numpy; gradient matches the XLA path."""
+    rng = np.random.default_rng(9)
+    m = 144
+    a = jnp.asarray(_spd_b(rng, (2,), m))
+    l, il = ls.chol_inv_blocked(a)
+    want = np.linalg.cholesky(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(l), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(il) @ want, np.broadcast_to(np.eye(m), a.shape),
+        atol=5e-3)
+
+    wl = jnp.asarray(rng.normal(size=(2, m, m)).astype(np.float32))
+
+    def f_blocked(x):
+        l, il = ls.chol_inv_blocked(x)
+        return jnp.sum(l * wl) + jnp.sum(il * wl)
+
+    def f_xla(x):
+        l = jnp.linalg.cholesky(x)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=x.dtype), x.shape)
+        il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        return jnp.sum(l * wl) + jnp.sum(il * wl)
+
+    ga, gb = jax.grad(f_blocked)(a), jax.grad(f_xla)(a)
+    sym = lambda g: np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2)
+    np.testing.assert_allclose(sym(ga), sym(gb), rtol=5e-3, atol=5e-3)
