@@ -51,6 +51,26 @@ def _batch_tile(t: int, n_bufs: int) -> int:
     return (tile // 8) * 8
 
 
+def _rsqrt1(x):
+    """rsqrt with one Newton-Raphson refinement.
+
+    Inside a Mosaic kernel ``jax.lax.rsqrt`` lowers to the VPU's
+    *approximate* reciprocal-sqrt instruction (~2^-12 relative error);
+    XLA-on-TPU refines the same primitive to full f32 precision.  The
+    Cholesky pivot reciprocal multiplies into every entry of its column
+    of L and of L^{-1}, so the approximation error compounds across the
+    M sequential elementary factors and, on ill-conditioned kernel
+    matrices (K0zz/H condition ~1e6 at init), was measured to double the
+    |iL@L - I| residual vs XLA — enough to destabilize the
+    natural-gradient H update (NaN at epoch 0 on real Health-MNIST).
+    One Newton step y <- y(1.5 - 0.5 x y^2) restores f32 accuracy for
+    ~4 extra VPU ops per factorization step."""
+    y = jax.lax.rsqrt(x)
+    half = jnp.asarray(0.5, x.dtype)
+    threehalf = jnp.asarray(1.5, x.dtype)
+    return y * (threehalf - half * x * y * y)
+
+
 def _kernel(a_ref, l_ref, il_ref, t: int):
     """One grid step: factorize a [T, T, Bs, 128] column-major block batch.
 
@@ -81,7 +101,7 @@ def _kernel(a_ref, l_ref, il_ref, t: int):
     # (layout.h bitwidth check) — scalars are tolerated, vectors are not.
     zero = jnp.zeros((), dtype)
     for j in range(t):
-        inv = jax.lax.rsqrt(a_ref[j, j])                    # [Bs, 128] pivot
+        inv = _rsqrt1(a_ref[j, j])                          # [Bs, 128] pivot
         colj = a_ref[j]                                     # [T, Bs, 128]
         lj = jnp.where(lead >= j, colj * inv[None], zero)   # column j of L
         l_ref[j] = lj
@@ -437,7 +457,7 @@ def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int):
         t, t2 = k * bk, (k + 1) * bk
         for j in range(bk):
             p = t + j
-            inv = jax.lax.rsqrt(lt_ref[p, p:p + 1])         # [1, 128]
+            inv = _rsqrt1(lt_ref[p, p:p + 1])               # [1, 128]
             ls = lt_ref[p] * inv                            # [Mp, 128]
             cu = lt_ref[:, p:p + 1, :]                      # [M, 1, 128]
             # dtype-typed zero: a weak 0.0 is an f64 constant under x64
