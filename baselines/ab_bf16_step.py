@@ -1,0 +1,65 @@
+"""bfloat16-vs-float32 model step-time A/B AFTER the MXU conv lowering.
+
+Round-3's full 400-epoch CLI A/B (QUALITY.md) found bf16 12% SLOWER and
+badly worse in quality; the judge asked (VERDICT r03 #6) to re-run the
+SPEED axis once the 1->16->32-channel convs were reformulated as patch
+matmuls (hlax/ops/convfuse.py), since the old conv layout was the prime
+suspect for "bf16 buys no throughput".  The quality verdict is dtype-
+mantissa-driven (Gaussian-NLL variance calibration collapses at bf16) and
+does not depend on layout, so only step time is re-measured here.
+
+Protocol (NOTES.md measurement honesty): whole-epoch scanned program,
+state chained through 20 epochs, ONE value fetch at the end; run each arm
+in its own pass over an idle host.
+"""
+import sys, os, time, json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from hlax.data.dataset import epoch_subject_batches
+
+EPOCHS = 20
+
+
+def time_epoch(model_dtype):
+    epoch_fn, state, staged, model, het, ds = bench.build(
+        model_dtype=model_dtype)
+    nb = (bench.P_SUBJ + bench.S_BATCH - 1) // bench.S_BATCH
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(np.stack(list(
+        epoch_subject_batches(ds.P, bench.S_BATCH, rng))))
+    st, m = epoch_fn(state, staged, idx)          # compile + warm
+    loss0 = float(np.asarray(m["loss"]).sum())
+    t0 = time.perf_counter()
+    for _ in range(EPOCHS):
+        st, m = epoch_fn(st, staged, idx)
+    loss = float(np.asarray(m["loss"]).sum())     # value fetch = sync
+    dt = (time.perf_counter() - t0) / EPOCHS
+    return {"sec_per_epoch": dt, "steps_per_sec": nb / dt,
+            "loss_first": loss0, "loss_last": loss,
+            "finite": bool(np.isfinite(loss))}
+
+
+def main():
+    out = {}
+    for name, dt in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        r = time_epoch(dt)
+        out[name] = r
+        print(f"{name}: {r['sec_per_epoch']*1e3:.2f} ms/epoch "
+              f"({r['steps_per_sec']:.1f} steps/sec), finite={r['finite']}")
+    out["speedup_bf16"] = (out["float32"]["sec_per_epoch"]
+                           / out["bfloat16"]["sec_per_epoch"])
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ab_bf16_step.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"bf16 step speedup vs f32: {out['speedup_bf16']:.3f}x -> {path}")
+
+
+if __name__ == "__main__":
+    main()
