@@ -9,24 +9,26 @@ mantissa-driven (Gaussian-NLL variance calibration collapses at bf16) and
 does not depend on layout, so only step time is re-measured here.
 
 Protocol (NOTES.md measurement honesty): whole-epoch scanned program,
-state chained through 20 epochs, ONE value fetch at the end; run each arm
-in its own pass over an idle host.
+state chained through 20 epochs, ONE value fetch at the end; gate on a
+healthy device link before timing; each arm runs in its OWN subprocess
+(fresh client, fresh allocator) so the f32 arm's live executables cannot
+bias the bf16 arm — `main()` is the two-subprocess wrapper, `--arm DTYPE`
+is the single-arm worker entry.
 """
-import sys, os, time, json
+import sys, os, time, json, subprocess
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import bench
-from hlax.data.dataset import epoch_subject_batches
 
 EPOCHS = 20
 
 
 def time_epoch(model_dtype):
+    import jax.numpy as jnp
+    import bench
+    from hlax.data.dataset import epoch_subject_batches
+
     epoch_fn, state, staged, model, het, ds = bench.build(
         model_dtype=model_dtype)
     nb = (bench.P_SUBJ + bench.S_BATCH - 1) // bench.S_BATCH
@@ -45,10 +47,27 @@ def time_epoch(model_dtype):
             "finite": bool(np.isfinite(loss))}
 
 
+def run_arm(name: str):
+    import jax.numpy as jnp
+    import bench
+    bench.wait_healthy_device_link()   # never time through a degraded relay
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    r = time_epoch(dt)
+    print("ARM_RESULT " + json.dumps(r), flush=True)
+
+
 def main():
     out = {}
-    for name, dt in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
-        r = time_epoch(dt)
+    here = os.path.abspath(__file__)
+    for name in ("float32", "bfloat16"):
+        p = subprocess.run([sys.executable, here, "--arm", name],
+                           capture_output=True, text=True, timeout=1800)
+        line = next((l for l in p.stdout.splitlines()
+                     if l.startswith("ARM_RESULT ")), None)
+        if p.returncode != 0 or line is None:
+            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"{name} arm failed (rc={p.returncode})")
+        r = json.loads(line[len("ARM_RESULT "):])
         out[name] = r
         print(f"{name}: {r['sec_per_epoch']*1e3:.2f} ms/epoch "
               f"({r['steps_per_sec']:.1f} steps/sec), finite={r['finite']}")
@@ -62,4 +81,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--arm":
+        run_arm(sys.argv[2])
+    else:
+        main()

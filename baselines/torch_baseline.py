@@ -259,6 +259,96 @@ def _k_batched(kfn, tx):
     return kfn(_X(tx), _X(tx))
 
 
+# ---------------------------------------------------------------------------
+# reference-shaped likelihood heads (pos/count/ordinal/beta) in plain torch
+#
+# Parity oracles for tests/test_parity_torch.py::test_likelihood_heads_parity
+# (VERDICT r04 #7): hlax's four non-D4 heads were verified against
+# scipy/closed-form oracles but never against a torch graph; these follow
+# the reference's computation graph (HL_VAE/loglik.py:73-256) including its
+# quirks — pos picks the shared variance via try/except when theta has only
+# d columns (loglik.py:89-108), ordinal renormalizes then applies a
+# log_softmax that is an exact identity (loglik.py:181), beta's dispersion
+# is a single softplus-clamped scalar (loglik.py:243-246).  torch
+# distributions (td.Poisson/td.Normal) supply log_prob/cdf where the
+# reference uses them, so the oracle shares no closed forms with hlax.
+# ---------------------------------------------------------------------------
+
+def head_pos(data, mask, theta, norm_mean_log, norm_var_log, extra=None):
+    """Log-normal head (loglik.py:73-121); theta [B,d] with ``extra`` [d]
+    (the reference's shared-variance try path) or [B,2d] (logvar-network)."""
+    epsilon = 1e-3
+    log_data_var = torch.clamp(norm_var_log, epsilon, np.inf)
+    log_data = torch.log(1.0 + data)
+    d = data.shape[1]
+    est_log_var = None
+    if theta.shape[1] == 2 * d:
+        est_mean, est_log_var = theta[:, :d], theta[:, d:]
+    else:
+        est_mean = theta
+    est_mean = torch.sqrt(log_data_var) * est_mean + norm_mean_log
+    est_var = log_data_var * torch.exp(extra if extra is not None
+                                       else est_log_var)
+    import torch.distributions as td
+    normal = td.Normal(est_mean, torch.sqrt(est_var))
+    log_p_x = normal.log_prob(log_data) - log_data
+    return log_p_x * mask, log_p_x * (1.0 - mask), (est_mean, est_var)
+
+
+def head_count(data, mask, theta):
+    """Poisson head (loglik.py:191-213) via td.Poisson.log_prob."""
+    import torch.distributions as td
+    lam = torch.clamp(F.softplus(theta), 1e-6, 1e20)
+    log_p_x = td.Poisson(lam).log_prob(data)
+    return log_p_x * mask, log_p_x * (1.0 - mask), lam
+
+
+def head_ordinal(data, mask, theta, nclass):
+    """Cumulative-link head (loglik.py:149-188): data [B, d*nclass]
+    thermometer, theta [B, d*nclass] (nclass-1 thresholds + mean)."""
+    epsilon = 1e-6
+    b = data.shape[0]
+    d = mask.shape[1]
+    data = data.reshape(b, d, -1)
+    theta = theta.reshape(b, d, -1)
+    partition, mean_param = theta[:, :, :-1], theta[:, :, -1]
+    mean_value = F.softplus(mean_param[:, :, None])
+    theta_values = torch.cumsum(
+        torch.clamp(F.softplus(partition), epsilon, 1e20), 2)
+    sig = torch.sigmoid(theta_values - mean_value)
+    probs = (torch.cat([sig, torch.ones(b, d, 1, dtype=theta.dtype)], 2)
+             - torch.cat([torch.zeros(b, d, 1, dtype=theta.dtype), sig], 2))
+    probs = torch.clamp(probs, epsilon, 1.0)
+    vals = data.detach().to(torch.int64).sum(2)
+    vals[mask == 0] = 1
+    true_values = F.one_hot(vals - 1, nclass).to(theta.dtype)
+    probs = probs / probs.sum(2, keepdim=True)
+    # the reference's extra log_softmax over log(probs) — an identity after
+    # the renormalization, kept for graph fidelity (loglik.py:181)
+    log_p_x = (true_values * F.log_softmax(torch.log(probs), -1)).sum(-1)
+    return log_p_x * mask, log_p_x * (1.0 - mask), probs
+
+
+def head_beta(data, mask, theta, ranges, extra):
+    """Beta head (loglik.py:216-256): mean via td.Normal(0,1).cdf, one
+    global softplus dispersion ``extra`` (the reference reads
+    extra_params[0])."""
+    import torch.distributions as td
+    epsilon = 1e-6
+    data_min, data_max = ranges[:, 0], ranges[:, 1]
+    x = (data - data_min) / (data_max - data_min) + epsilon
+    est_mean = td.Normal(torch.zeros((), dtype=theta.dtype),
+                         torch.ones((), dtype=theta.dtype)).cdf(theta)
+    disp = torch.clamp(F.softplus(extra), epsilon, 1e20)
+    est_alpha = disp * est_mean
+    est_beta = disp * (1 - est_mean)
+    log_p_x = ((est_alpha - 1) * torch.log(x)
+               + (est_beta - 1) * torch.log(1 - x)
+               - torch.lgamma(est_alpha) - torch.lgamma(est_beta)
+               + torch.lgamma(est_alpha + est_beta))
+    return log_p_x * mask, log_p_x * (1.0 - mask), (est_alpha, est_beta)
+
+
 def main():
     rng = np.random.default_rng(0)
     n = S_BATCH * T

@@ -358,3 +358,124 @@ def test_natural_gradient_update_parity(setup):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(m_j), m_new.numpy(), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_likelihood_heads_parity_torch():
+    """pos/count/ordinal/beta heads match the reference-shaped torch graph
+    (VERDICT r04 #7): values of log_p_x / log_p_x_missing / params AND the
+    theta-gradient of sum(log_p_x) agree to f64 precision.  The torch side
+    (baselines/torch_baseline.py::head_*) follows loglik.py:73-256 op-for-op
+    including td.Poisson/td.Normal log_prob/cdf, so this catches any closed-
+    form drift a scipy oracle written alongside hlax could share."""
+    from hlax.ops import likelihoods as lk
+
+    rng = np.random.default_rng(21)
+    B, d = 17, 7
+
+    def grads(fn_j, fn_t, theta, *extra_j):
+        """Compare d sum(log_p_x)/d theta between jax and torch."""
+        gj = jax.grad(lambda th: jnp.sum(fn_j(th)))(jnp.asarray(theta))
+        tt = _t(theta).requires_grad_(True)
+        fn_t(tt).sum().backward()
+        np.testing.assert_allclose(np.asarray(gj), tt.grad.numpy(),
+                                   rtol=1e-9, atol=1e-12)
+
+    # ---- pos (shared-variance branch: theta [B,d] + extra [d]) ----
+    data = rng.gamma(2.0, 3.0, (B, d))
+    mask = (rng.random((B, d)) > 0.3).astype(float)
+    theta = rng.standard_normal((B, d))
+    extra = rng.standard_normal(d) * 0.3
+    logd = np.log1p(data)
+    nm, nv = logd.mean(0), logd.var(0)
+    out = lk.loglik_pos(jnp.asarray(data), jnp.asarray(mask),
+                        jnp.asarray(theta), jnp.asarray(nm), jnp.asarray(nv),
+                        jnp.asarray(extra))
+    lp_t, lpm_t, (mean_t, var_t) = tb.head_pos(
+        _t(data), _t(mask), _t(theta), _t(nm), _t(nv), _t(extra))
+    np.testing.assert_allclose(np.asarray(out["log_p_x"]), lp_t.numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["log_p_x_missing"]),
+                               lpm_t.numpy(), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["params"][0]), mean_t.numpy(),
+                               rtol=1e-10)
+    grads(lambda th: lk.loglik_pos(jnp.asarray(data), jnp.asarray(mask), th,
+                                   jnp.asarray(nm), jnp.asarray(nv),
+                                   jnp.asarray(extra))["log_p_x"],
+          lambda th: tb.head_pos(_t(data), _t(mask), th, _t(nm), _t(nv),
+                                 _t(extra))[0], theta)
+
+    # ---- pos (logvar-network branch: theta [B,2d], no extra) ----
+    theta2 = rng.standard_normal((B, 2 * d)) * 0.5
+    out = lk.loglik_pos(jnp.asarray(data), jnp.asarray(mask),
+                        jnp.asarray(theta2), jnp.asarray(nm), jnp.asarray(nv),
+                        None)
+    lp_t, lpm_t, _ = tb.head_pos(_t(data), _t(mask), _t(theta2), _t(nm),
+                                 _t(nv), None)
+    np.testing.assert_allclose(np.asarray(out["log_p_x"]), lp_t.numpy(),
+                               rtol=1e-10, atol=1e-12)
+    grads(lambda th: lk.loglik_pos(jnp.asarray(data), jnp.asarray(mask), th,
+                                   jnp.asarray(nm), jnp.asarray(nv),
+                                   None)["log_p_x"],
+          lambda th: tb.head_pos(_t(data), _t(mask), th, _t(nm), _t(nv),
+                                 None)[0], theta2)
+
+    # ---- count (Poisson) ----
+    cdata = rng.poisson(4.0, (B, d)).astype(float)
+    ctheta = rng.standard_normal((B, d)) * 2.0
+    out = lk.loglik_count(jnp.asarray(cdata), jnp.asarray(mask),
+                          jnp.asarray(ctheta))
+    lp_t, lpm_t, lam_t = tb.head_count(_t(cdata), _t(mask), _t(ctheta))
+    np.testing.assert_allclose(np.asarray(out["log_p_x"]), lp_t.numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["log_p_x_missing"]),
+                               lpm_t.numpy(), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["params"]), lam_t.numpy(),
+                               rtol=1e-10)
+    grads(lambda th: lk.loglik_count(jnp.asarray(cdata), jnp.asarray(mask),
+                                     th)["log_p_x"],
+          lambda th: tb.head_count(_t(cdata), _t(mask), th)[0], ctheta)
+
+    # ---- ordinal (cumulative link, nclass=4, thermometer data) ----
+    nclass = 4
+    levels = rng.integers(1, nclass + 1, (B, d))
+    therm = (np.arange(1, nclass + 1)[None, None, :]
+             <= levels[:, :, None]).astype(float).reshape(B, d * nclass)
+    otheta = rng.standard_normal((B, d * nclass))
+    out = lk.loglik_ordinal(jnp.asarray(therm), jnp.asarray(mask),
+                            jnp.asarray(otheta), nclass)
+    lp_t, lpm_t, probs_t = tb.head_ordinal(_t(therm), _t(mask), _t(otheta),
+                                           nclass)
+    np.testing.assert_allclose(np.asarray(out["log_p_x"]), lp_t.numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["log_p_x_missing"]),
+                               lpm_t.numpy(), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["params"]), probs_t.numpy(),
+                               rtol=1e-10)
+    grads(lambda th: lk.loglik_ordinal(jnp.asarray(therm), jnp.asarray(mask),
+                                       th, nclass)["log_p_x"],
+          lambda th: tb.head_ordinal(_t(therm), _t(mask), th, nclass)[0],
+          otheta)
+
+    # ---- beta (Normal-CDF mean, global dispersion) ----
+    ranges = np.column_stack([rng.random(d) * -2.0, 2.0 + rng.random(d)])
+    bdata = rng.uniform(ranges[:, 0], ranges[:, 1], (B, d))
+    btheta = rng.standard_normal((B, d))
+    bextra = np.float64(1.3)
+    out = lk.loglik_beta(jnp.asarray(bdata), jnp.asarray(mask),
+                         jnp.asarray(btheta), jnp.asarray(ranges),
+                         jnp.asarray(bextra))
+    lp_t, lpm_t, (al_t, be_t) = tb.head_beta(_t(bdata), _t(mask), _t(btheta),
+                                             _t(ranges), _t(bextra))
+    np.testing.assert_allclose(np.asarray(out["log_p_x"]), lp_t.numpy(),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["log_p_x_missing"]),
+                               lpm_t.numpy(), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["params"][0]), al_t.numpy(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out["params"][1]), be_t.numpy(),
+                               rtol=1e-10)
+    grads(lambda th: lk.loglik_beta(jnp.asarray(bdata), jnp.asarray(mask),
+                                    th, jnp.asarray(ranges),
+                                    jnp.asarray(bextra))["log_p_x"],
+          lambda th: tb.head_beta(_t(bdata), _t(mask), th, _t(ranges),
+                                  _t(bextra))[0], btheta)
