@@ -196,6 +196,24 @@ def build(model_dtype=None, gp_dtype=None):
     return epoch_fn, state, staged, model, het, ds
 
 
+def _gate_finite(loss: float, where: str) -> None:
+    """HARD GATE on finiteness (round-4 lesson: BENCH_r04 recorded
+    net_loss_at_eval = NaN and still quoted eval throughput "at matched
+    ELBO" — a diverged run voids BOTH headline numbers, because the eval
+    pass then measures arithmetic on NaN parameters, not the framework).
+    A benchmark of a shipped default that cannot train to a finite loss
+    must FAIL loudly, not report fast-but-wrong numbers."""
+    if not np.isfinite(loss):
+        print(json.dumps({
+            "metric": "healthmnist_train_steps_per_sec_per_chip",
+            "value": None, "unit": "steps/sec", "vs_baseline": None,
+            "error": f"INVALID: net loss {where} is {loss} (non-finite) — "
+                     "the shipped default diverged; throughput numbers are "
+                     "void",
+        }), flush=True)
+        sys.exit(3)
+
+
 def main():
     wait_healthy_device_link()
     import jax
@@ -226,6 +244,8 @@ def main():
         np.asarray(metrics["loss"])   # forces completion
     dt = time.perf_counter() - t0
     steps_per_sec = EPOCHS_MEASURED * nb / dt
+    _gate_finite(float(np.asarray(metrics["loss"])[-nb:].mean()),
+                 f"after the {EPOCHS_MEASURED}-epoch timing window")
 
     baseline = {}
     if os.path.isfile(BASELINE_FILE):
@@ -247,6 +267,8 @@ def main():
     # final epoch's MEAN per-batch net loss (the per-epoch quantity the CLI
     # prints), not the last batch's
     final_loss = float(np.asarray(metrics["loss"])[-nb:].mean())
+    _gate_finite(final_loss, f"after the {TRAIN_EPOCHS}-epoch convergence "
+                 "run (eval would be measured on diverged parameters)")
 
     # the relay can degrade DURING the ~40 s quick-train between the two
     # measurement windows (observed: eval 128k samples/sec in one run, 63k

@@ -496,7 +496,10 @@ def _chol_inv_mid_batched(a):
     per block."""
     m = a.shape[-1]
     mp = ((m + 7) // 8) * 8
-    bk = mp // max(1, mp // 32)          # largest block size <= 32 dividing mp
+    # fewest panels with width >= 32: bk = mp/floor(mp/32), then walked down
+    # to a divisor of mp that is a multiple of 8 (canonical mp=120 -> bk=40,
+    # nb=3; mp=56 -> bk=56 single panel; mp=128 -> bk=32)
+    bk = mp // max(1, mp // 32)
     while mp % bk or bk % 8:
         bk -= 1
     batch_shape = a.shape[:-2]

@@ -182,6 +182,39 @@ def test_mid_kernel_matches_numpy():
             np.broadcast_to(np.eye(m), a.shape), atol=5e-3)
 
 
+@pytest.mark.slow
+def test_mid_kernel_m120_ill_conditioned():
+    """Mid kernel at EXACTLY the canonical M=120 (mp=120, bk=40, nb=3 — the
+    unique multi-panel path that ships in the training bound) on
+    near-singular SPD inputs at trained-kernel conditioning (cond 1e6-1e7),
+    judged against a float64 oracle and against XLA-f32 error on the SAME
+    inputs.  Round 4 shipped this path tested only at M=56/60/144 on
+    well-conditioned `AA^T + mI` matrices while the canonical config NaN'd
+    on-chip (VERDICT r04 weak #4) — this pins the algorithm; the chip's
+    approximate-rsqrt axis is covered by baselines/chol_numerics.py."""
+    rng = np.random.default_rng(12)
+    m = 120
+    for cond in (1e6, 1e7):
+        q, _ = np.linalg.qr(rng.standard_normal((8, m, m)))
+        ev = np.exp(np.linspace(0.0, -np.log(cond), m))
+        a64 = np.einsum("bij,j,bkj->bik", q, ev, q)
+        l64 = np.linalg.cholesky(a64)
+
+        l, il = ls._chol_inv_mid(jnp.asarray(a64, jnp.float32))
+        l = np.asarray(l, np.float64)
+        il = np.asarray(il, np.float64)
+        assert np.isfinite(l).all() and np.isfinite(il).all(), \
+            f"non-finite mid-kernel output at cond={cond:.0e}"
+
+        lx = np.linalg.cholesky(a64.astype(np.float32)).astype(np.float64)
+        rel = lambda x: np.abs(x - l64).max() / np.abs(l64).max()
+        # algorithmic parity: no worse than 10x XLA-f32's own error here
+        assert rel(l) < 10 * max(rel(lx), 1e-6), \
+            f"cond={cond:.0e}: relL {rel(l):.2e} vs xla {rel(lx):.2e}"
+        res = np.abs(np.einsum("bij,bjk->bik", il, l64) - np.eye(m)).max()
+        assert res < 0.05, f"cond={cond:.0e}: |iL@L64 - I| = {res:.2e}"
+
+
 def test_blocked_routes_mid_sizes_through_mid_kernel():
     """chol_inv_blocked dispatches 48 < M <= MAX_MID_M to the mid kernel
     (same bits), and its custom-VJP gradient matches the XLA path."""
