@@ -154,6 +154,14 @@ def main():
     def mid(a):
         return jax.jit(ls._chol_inv_mid)(a)
 
+    def mid_raw(a):
+        saved = ls.MID_REFINE
+        ls.MID_REFINE = False   # the exact round-4 shipped path (no Newton)
+        try:
+            return jax.jit(ls._chol_inv_mid_batched)(a)
+        finally:
+            ls.MID_REFINE = saved
+
     def blocked24(a):
         saved = ls.MAX_MID_M
         ls.MAX_MID_M = 24       # force the round-3 composition
@@ -168,7 +176,8 @@ def main():
         il = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
         return l, il
 
-    paths = [("mid", mid), ("blocked24", blocked24), ("xla", xla)]
+    paths = [("mid", mid), ("mid_raw", mid_raw), ("blocked24", blocked24),
+             ("xla", xla)]
     report = {"platform": platform, "sets": []}
     rng = np.random.default_rng(0)
 

@@ -96,6 +96,8 @@ def run(T, P=200, S_BATCH=20, epochs=10):
 
 
 if __name__ == "__main__":
+    import bench
+    bench.wait_healthy_device_link()   # never time through a degraded relay
     # Beyond T=100 the subject batch shrinks with T (a real T=500
     # longitudinal study has few subjects; holding S_BATCH=20 would put a
     # 6.4 GB [32,20,500,500] block batch in HBM).  rows_per_sec stays the

@@ -490,6 +490,28 @@ def _mid_block_index_map(i):
     return (z, z, i)
 
 
+# One Newton refinement of the mid kernel's triangular inverse:
+# iL <- iL (2I - L iL).  The kernel builds L^{-1} by accumulating the
+# M elementary-factor updates, whose error compounds with the chip's
+# VPU arithmetic to ~1e-3 |iL@L - I| on the near-singular canonical
+# M=120 K0zz/H (cond >= 1e6) — enough that the natural-gradient
+# iH -> iH_new -> H feedback loop drifts off PSD and round 4's shipped
+# default diverged to NaN within epochs (VERDICT r04, BENCH_r04.json).
+# Newton SQUARES the residual (1e-3 -> ~1e-6, XLA-solve territory) for
+# two [*, M, M] batched MXU matmuls (~0.4 GFLOP at the training bound's
+# batch, ~vs the 338 us XLA factorization this kernel replaces).
+# Module-level so baselines/chol_numerics.py can A/B raw vs refined.
+MID_REFINE = True
+
+
+def _refine_tri_inverse(l, il):
+    """iL (2I - L iL); exact lower-triangularity is preserved (products of
+    lower triangulars have structurally-zero upper entries)."""
+    with jax.default_matmul_precision("highest"):
+        li = jnp.matmul(l, il)
+        return 2.0 * il - jnp.matmul(il, li)
+
+
 def _chol_inv_mid_batched(a):
     """Pallas (L, iL) of a [..., M, M] for 48 < M <= 128: pack the batch
     onto 128-lane blocks (identity padding), one single-pass kernel call
@@ -534,7 +556,10 @@ def _chol_inv_mid_batched(a):
     unpack = lambda x: jnp.moveaxis(
         x[:m, :m, :b], -1, 0).reshape(shape)
     # lt is L^T in (row, col) -> transpose back to L
-    return jnp.swapaxes(unpack(lt_t), -1, -2), unpack(il_t)
+    l, il = jnp.swapaxes(unpack(lt_t), -1, -2), unpack(il_t)
+    if MID_REFINE:
+        il = _refine_tri_inverse(l, il)
+    return l, il
 
 
 @jax.custom_vjp
