@@ -170,7 +170,8 @@ def run(opt: dict) -> dict:
         y_dim=opt.get("y_dim") or 5, conv=opt.get("conv_hivae", False),
         logvar_network=opt.get("logvar_network", False),
         vy_init_real=opt.get("vy_init_real", 1.0),
-        vy_init_pos=opt.get("vy_init_pos", 0.5), dtype=model_dtype)
+        vy_init_pos=opt.get("vy_init_pos", 0.5), dtype=model_dtype,
+        fused_conv=opt.get("fused_conv", False))
     model = HLVAE(mcfg)
 
     spec0, spec1 = build_kernel_specs(

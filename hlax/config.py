@@ -152,6 +152,12 @@ class ModelArgs:
         add("--nat_grad_jitter", type=float, default=0.0,
             help="relative diagonal ridge on iH before its Cholesky in the "
                  "natural-gradient update (float32-chain safety margin)")
+        add("--fused_conv", type=str2bool, default=False,
+            help="lower the conv stack as pool-fused patch matmuls "
+                 "(hlax.ops.convfuse) instead of XLA's conv lowerings. "
+                 "Default False: the value-fetch-synced full-model A/B on "
+                 "a v5e measures VAE fwd+bwd at 1.93 ms with the lax "
+                 "lowerings vs 10.25 ms fused (QUALITY.md round-5)")
         add("--use_pallas_chol", type=str2bool, default=True,
             help="Pallas batch-on-lanes Cholesky inside the training KLD "
                  "bound (30%% faster full step on a v5e in the honest A/B; "

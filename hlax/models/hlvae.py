@@ -50,10 +50,17 @@ class HLVAEConfig:
     dtype: object = jnp.float32
     # Lower the image stack as pool-fused patch matmuls (hlax.ops.convfuse)
     # instead of XLA's conv lowerings — exactly equivalent (same params,
-    # summation reordered; tested values+grads) but MXU-shaped: the tiny
-    # 1->16->32-channel convs otherwise run the 128x128 systolic array
-    # nearly empty (round-3 profile: VAE fwd+bwd was half the train step).
-    fused_conv: bool = True
+    # summation reordered; tested values+grads).  OFF by default: the
+    # round-4 claim that the patch-matmul form wins was a forward-only /
+    # degraded-link artifact.  The round-5 value-fetch-synced full-model
+    # A/B on the v5e measures fwd+bwd at 1.93 ms with the lax conv
+    # lowerings vs 10.25 ms fused (the patch extraction's backward
+    # scatter-adds dominate); per-stage isolation shows every fused stage
+    # 2-3x slower on fwd+bwd (QUALITY.md round-5 table).  The fused path
+    # stays available for forward-heavy eval graphs, where it is
+    # competitive (fwd 1.32 vs 0.88 ms is conv+rep+heads; the conv share
+    # is near-parity).
+    fused_conv: bool = False
 
     @property
     def n_raw(self) -> int:
