@@ -146,3 +146,34 @@ def test_relu_max_uv_tie_grad_is_replicating():
     g = jax.grad(lambda y: jnp.sum(cf._relu_max_uv(y)))(y)
     np.testing.assert_array_equal(
         np.asarray(g)[0, 0, 0, :, :, 0], np.array([[1.0, 1.0], [0.0, 0.0]]))
+
+
+def test_all_negative_window_grad_is_zero_both_pool_paths():
+    """All-negative windows are COMMON after an affine pre-activation (not
+    measure-zero like exact positive ties): relu makes the whole window 0,
+    the pooled max is 0, and the eq-mask in BOTH pool VJPs matches every
+    element.  The fused form must kill the replicated cotangent via its
+    ``y > 0`` guard; the model form (relu then _max_pool_2x2) must kill it
+    in relu's backward (relu'(y<=0) = 0).  VERDICT r04 weak #6: the fused
+    form's correctness rests entirely on that guard — pin it, including a
+    mixed batch where only some windows are all-negative."""
+    from hlax.models import hlvae as mh
+
+    # one all-negative window, one mixed window, one all-positive window
+    wins = np.array([[[-1.0, -2.0], [-0.5, -3.0]],
+                     [[-1.0, 4.0], [-2.0, 1.0]],
+                     [[1.0, 2.0], [0.5, 3.0]]])
+    want = np.array([[[0.0, 0.0], [0.0, 0.0]],
+                     [[0.0, 1.0], [0.0, 0.0]],
+                     [[0.0, 0.0], [0.0, 1.0]]])
+
+    # fused path: y [..., 2, 2, O] window axes
+    y = jnp.asarray(wins)[:, None, None, :, :, None]   # [3,1,1,2,2,1]
+    g = jax.grad(lambda y: jnp.sum(cf._relu_max_uv(y)))(y)
+    np.testing.assert_array_equal(np.asarray(g)[:, 0, 0, :, :, 0], want)
+
+    # model path: relu -> _max_pool_2x2 on [B, H, W, C]
+    h = jnp.asarray(wins)[:, :, :, None]               # [3, 2, 2, 1]
+    gm = jax.grad(
+        lambda h: jnp.sum(mh._max_pool_2x2(jax.nn.relu(h))))(h)
+    np.testing.assert_array_equal(np.asarray(gm)[:, :, :, 0], want)
