@@ -190,6 +190,21 @@ def main():
         report["sets"].append({"set": f"synthetic_cond{cond:.0e}",
                                "rows": rows})
 
+    # f32-INDEFINITE spectrum (cond 1e10): the degenerate-pivot-guard
+    # regime.  The guarded Pallas kernels must return finite factors of a
+    # nearby SPD matrix here; XLA's Cholesky returns NaN (expected —
+    # nonfinite>0 for the xla row is the baseline being beaten, and the
+    # error metrics vs the f64 oracle are meaningless for every path).
+    a64 = synthetic_spd(rng, 64, 120, 1e10)
+    emin = np.linalg.eigvalsh(a64.astype(np.float32).astype(np.float64))
+    print(f"synthetic M=120 f32-indefinite (eigmin {emin.min():.1e}):",
+          flush=True)
+    rows = []
+    for name, fn in paths:
+        measure(name, fn, a64, rows)
+    report["sets"].append({"set": "synthetic_f32_indefinite",
+                           "f32_eigmin": float(emin.min()), "rows": rows})
+
     if not args.skip_capture:
         stacked, loss = capture_canonical(args.capture_epochs)
         conds = np.linalg.cond(stacked)

@@ -38,7 +38,7 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-ARMS = ("noguard", "default", "blocked24", "fused")
+ARMS = ("noguard", "default", "blocked24", "fused", "noalias")
 
 
 def run_arm(arm: str, epochs: int) -> dict:
@@ -127,10 +127,17 @@ def main():
     import bench
     bench.wait_healthy_device_link()
     results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
     for arm in ARMS:
+        if arm in results and "error" not in results[arm]:
+            continue
         env = dict(os.environ)
         if arm == "noguard":
             env["HLAX_PIVOT_GUARD"] = "0"
+        if arm == "noalias":
+            env["HLAX_MID_ALIAS"] = "0"
         p = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__),
              "--arm", arm, "--epochs", str(args.epochs)],

@@ -88,8 +88,13 @@ def run(T, P=200, S_BATCH=20, epochs=10):
         np.asarray(m["loss"])                     # value fetch = completion
     dt = time.perf_counter() - t0
     sps = epochs * nb / dt
+    # HBM staging footprint (VERDICT r05 ask #5 tail): the whole-dataset
+    # [P, T, n_exp] device residency is the large-T memory cliff candidate
+    staged_mb = sum(int(v.size) * v.dtype.itemsize
+                    for v in staged.values()) / 2**20
     out = {"steps_per_sec": round(sps, 1),
            "rows_per_sec": round(sps * S_BATCH * T, 0),
+           "staged_mb": round(staged_mb, 1),
            "final_loss": float(np.asarray(m["loss"])[-1])}
     print(f"T={T}: {out}", flush=True)
     return out

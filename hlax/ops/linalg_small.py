@@ -62,6 +62,16 @@ import os as _os
 PIVOT_GUARD = _os.environ.get("HLAX_PIVOT_GUARD", "1") != "0"
 PIVOT_FLOOR_REL = 1e-6
 
+# In-place aliasing of the mid kernel's input buffer onto its L^T output
+# (input_output_aliases={0: 0}).  A/B'd by baselines/nan_bisect_r05.py
+# (HLAX_MID_ALIAS=0 copies the input into a separate output buffer
+# instead): the mid kernel is the only kernel here that aliases, and the
+# canonical whole-epoch program (donate_argnums=0) NaNs at epoch 1 with
+# the lax-conv model while the SAME kernel on the SAME matrices is
+# accurate standalone (baselines/chol_numerics.json) — an
+# aliasing/donation interaction is the prime suspect.
+MID_ALIAS_INPUT = _os.environ.get("HLAX_MID_ALIAS", "1") != "0"
+
 
 def _batch_tile(t: int, n_bufs: int) -> int:
     """Sublane-batch tile per grid step so ~n_bufs [T,T,tile,128] f32 buffers
@@ -453,7 +463,8 @@ def _use_fallback_mid(a) -> bool:
     return a.dtype == jnp.float64
 
 
-def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int):
+def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int,
+                alias: bool = True):
     """Single-pass blocked Cholesky + triangular inverse of ONE 128-lane
     batch block, matrix resident in VMEM.
 
@@ -482,6 +493,10 @@ def _mid_kernel(a_ref, lt_ref, il_ref, lu_ref, m: int, mp: int, bk: int):
     see NOTES.md round-4 measurements).
     """
     nb = mp // bk
+    if not alias:
+        # separate-output mode (MID_ALIAS_INPUT=False): consume a copy of
+        # the input instead of factorizing it in place
+        lt_ref[:] = a_ref[:]
     # Mosaic: never int-index the sublane (middle) dim — collapsing it
     # forces a cross-tile relayout/gather the lowering rejects; width-1
     # slices keep every access a plain (possibly shifted) vector load.
@@ -599,17 +614,19 @@ def _chol_inv_mid_batched(a):
     spec = pl.BlockSpec((mp, mp, 128), _mid_block_index_map,
                         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)
+    alias = {"input_output_aliases": {0: 0}} if MID_ALIAS_INPUT else {}
     lt_t, il_t = pl.pallas_call(
-        functools.partial(_mid_kernel, m=mp, mp=mp, bk=bk),
+        functools.partial(_mid_kernel, m=mp, mp=mp, bk=bk,
+                          alias=MID_ALIAS_INPUT),
         grid=(b_pad // 128,),
         in_specs=[spec],
         out_specs=(spec, spec),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[pltpu.VMEM((mp, bk, 128), a.dtype)],
-        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.devices()[0].platform == "cpu",
+        **alias,
     )(a_t)
     shape = batch_shape + (m, m)
     unpack = lambda x: jnp.moveaxis(
