@@ -12,11 +12,18 @@ matrices (baselines/chol_numerics.json) but the lax-conv trajectory
 drives the K0zz/H conditioning somewhere it NaNs.
 
 Arms (each a fresh subprocess; the chip is single-client so they run
-serialized):
-  default      lax conv + mid kernel + pivot guard (shipped)  -> fix
-  noguard      same with HLAX_PIVOT_GUARD=0                   -> NaN repro
-  blocked24    lax conv + round-3 blocked composition + guard -> fallback
-  fused        fused conv + mid kernel (aa1b41b config)       -> control
+serialized).  NOTE: the recorded nan_bisect_r05.json arms ran BEFORE the
+root-cause flip (MID_ALIAS_INPUT now defaults False): at that time
+"default"/"noguard" meant the ALIASED mid kernel (guarded/raw — both NaN
+at epoch 1), "noalias" was the experimental separate-output variant
+(finite, now the shipped default), and "blocked24"/"fused" were the
+finite controls.  Verdict: input_output_aliases={0:0} miscompiles inside
+the donated lax-conv epoch program; numerics (guard, refine) exonerated.
+  default      lax conv + mid kernel + pivot guard (shipped)
+  noguard      same with HLAX_PIVOT_GUARD=0
+  blocked24    lax conv + round-3 blocked composition + guard
+  fused        fused conv + mid kernel (aa1b41b config)
+  noalias      lax conv + separate-output mid kernel
 
 Usage: python baselines/nan_bisect_r05.py             # run all arms
        python baselines/nan_bisect_r05.py --arm NAME --epochs N  # one arm

@@ -362,3 +362,21 @@ def test_pivot_guard_noop_on_good_inputs():
         ls.PIVOT_GUARD = old
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
     np.testing.assert_array_equal(np.asarray(il1), np.asarray(il0))
+
+
+def test_mid_kernel_ships_without_input_aliasing():
+    """Shipped-default regression pin: the mid kernel must NOT alias its
+    input onto the L^T output.  input_output_aliases={0:0} miscompiles in
+    some enclosing programs on real TPU — inside the canonical
+    donate_argnums=0 whole-epoch program the aliased kernel NaNs at epoch
+    1 while the separate-output variant (and every control) is finite on
+    identical data (baselines/nan_bisect_r05.json, round 5).  Interpret
+    mode cannot reproduce the miscompile, so CI pins the configuration."""
+    assert ls.MID_ALIAS_INPUT is False
+    # and the separate-output path is what actually runs: factorization
+    # still correct after the flip
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(_spd_b(rng, (3,), 56))
+    l, il = ls._chol_inv_mid_batched(a)
+    want = np.linalg.cholesky(np.asarray(a, np.float64))
+    np.testing.assert_allclose(np.asarray(l), want, rtol=2e-4, atol=2e-4)
