@@ -8,6 +8,11 @@ suspect for "bf16 buys no throughput".  The quality verdict is dtype-
 mantissa-driven (Gaussian-NLL variance calibration collapses at bf16) and
 does not depend on layout, so only step time is re-measured here.
 
+Round 5 adds a third arm, "mixed": the selective mixed-precision policy
+(HLVAEConfig.compute_dtype=bfloat16 — bf16 conv+MLP stacks, f32 params/
+reparameterization/heads/GP math), which targets the step-time win of the
+full-bf16 arm without touching the paths its quality collapse implicated.
+
 Protocol (NOTES.md measurement honesty): whole-epoch scanned program,
 state chained through 20 epochs, ONE value fetch at the end; gate on a
 healthy device link before timing; each arm runs in its OWN subprocess
@@ -24,13 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EPOCHS = 20
 
 
-def time_epoch(model_dtype):
+def time_epoch(model_dtype, compute_dtype=None):
     import jax.numpy as jnp
     import bench
     from hlax.data.dataset import epoch_subject_batches
 
     epoch_fn, state, staged, model, het, ds = bench.build(
-        model_dtype=model_dtype)
+        model_dtype=model_dtype, compute_dtype=compute_dtype)
     nb = (bench.P_SUBJ + bench.S_BATCH - 1) // bench.S_BATCH
     rng = np.random.default_rng(0)
     idx = jnp.asarray(np.stack(list(
@@ -51,15 +56,19 @@ def run_arm(name: str):
     import jax.numpy as jnp
     import bench
     bench.wait_healthy_device_link()   # never time through a degraded relay
-    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
-    r = time_epoch(dt)
+    if name == "mixed":
+        # selective policy: bf16 conv+MLP stacks, f32 params/heads/GP math
+        r = time_epoch(jnp.float32, compute_dtype=jnp.bfloat16)
+    else:
+        dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+        r = time_epoch(dt)
     print("ARM_RESULT " + json.dumps(r), flush=True)
 
 
 def main():
     out = {}
     here = os.path.abspath(__file__)
-    for name in ("float32", "bfloat16"):
+    for name in ("float32", "bfloat16", "mixed"):
         p = subprocess.run([sys.executable, here, "--arm", name],
                            capture_output=True, text=True, timeout=1800)
         line = next((l for l in p.stdout.splitlines()
@@ -73,6 +82,8 @@ def main():
               f"({r['steps_per_sec']:.1f} steps/sec), finite={r['finite']}")
     out["speedup_bf16"] = (out["float32"]["sec_per_epoch"]
                            / out["bfloat16"]["sec_per_epoch"])
+    out["speedup_mixed"] = (out["float32"]["sec_per_epoch"]
+                            / out["mixed"]["sec_per_epoch"])
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "ab_bf16_step.json")
     with open(path, "w") as f:

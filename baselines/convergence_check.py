@@ -40,6 +40,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=330)
     ap.add_argument("--pallas-off", action="store_true")
+    ap.add_argument("--mixed", action="store_true",
+                    help="train under the selective mixed-precision policy "
+                         "(HLVAEConfig.compute_dtype=bfloat16) — the quality "
+                         "arm of baselines/ab_bf16_step.py's 'mixed' row")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "convergence_r05.json"))
     args = ap.parse_args()
@@ -51,7 +55,8 @@ def main():
     import jax.numpy as jnp
     from hlax.data.dataset import epoch_subject_batches
 
-    epoch_fn, state, staged, model, het, ds = bench.build()
+    epoch_fn, state, staged, model, het, ds = bench.build(
+        compute_dtype=jnp.bfloat16 if args.mixed else None)
     if args.pallas_off:
         from hlax.train import step as tstep
         from hlax.gp.kernels import build_kernel_specs
@@ -93,7 +98,8 @@ def main():
     ok = bool(np.isfinite(final)
               and abs(final - EXPECT_LOSS) <= TOL * abs(EXPECT_LOSS))
     report = {
-        "arm": "pallas_off" if args.pallas_off else "shipped_default",
+        "arm": ("pallas_off" if args.pallas_off
+                else "mixed_bf16" if args.mixed else "shipped_default"),
         "epochs": trace[-1]["epoch"], "final_loss": final,
         "expected": EXPECT_LOSS, "rel_tol": TOL, "ok": ok,
         "wall_s": round(wall, 1), "trace": trace,

@@ -126,10 +126,12 @@ def wait_healthy_device_link(attempts: int = 8, probe_timeout: float = 120.0,
           file=sys.stderr, flush=True)
 
 
-def build(model_dtype=None, gp_dtype=None):
+def build(model_dtype=None, gp_dtype=None, compute_dtype=None):
     """Canonical-config workload.  ``model_dtype``/``gp_dtype`` default to
     the shipped float32 configuration; baselines/f64_tpu.py passes float64
-    for the reference-native-dtype demonstration run."""
+    for the reference-native-dtype demonstration run; ``compute_dtype``
+    selects the selective mixed-precision policy (HLVAEConfig.compute_dtype)
+    for baselines/ab_bf16_step.py's policy arm."""
     import jax
     jax.config.update("jax_enable_x64", True)   # f64 natural-gradient chain
     # persistent compilation cache: compiles through a degraded relay take
@@ -183,7 +185,7 @@ def build(model_dtype=None, gp_dtype=None):
                             natural_gradient=True, constrain_scales=True,
                             gp_dtype=gdt)
     mcfg = HLVAEConfig(layout=ds.layout, z_dim=LATENT, h_dims=(500,), y_dim=5,
-                       conv=True, dtype=mdt)
+                       conv=True, dtype=mdt, compute_dtype=compute_dtype)
     model = HLVAE(mcfg)
     state = tstep.init_train_state(model, spec0, spec1,
                                    next(subject_batches(ds, S_BATCH)), cfg,

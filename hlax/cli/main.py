@@ -171,7 +171,9 @@ def run(opt: dict) -> dict:
         logvar_network=opt.get("logvar_network", False),
         vy_init_real=opt.get("vy_init_real", 1.0),
         vy_init_pos=opt.get("vy_init_pos", 0.5), dtype=model_dtype,
-        fused_conv=opt.get("fused_conv", False))
+        fused_conv=opt.get("fused_conv", False),
+        compute_dtype=(_resolve_dtype(opt["compute_dtype"])
+                       if opt.get("compute_dtype") else None))
     model = HLVAE(mcfg)
 
     spec0, spec1 = build_kernel_specs(

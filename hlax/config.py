@@ -118,6 +118,12 @@ class ModelArgs:
             help="dtype for GP/Cholesky math (float64 needs x64 mode)")
         add("--model_dtype", type=str, default="float32",
             choices=["float32", "bfloat16", "float64"])
+        add("--compute_dtype", type=str, default="",
+            choices=["", "bfloat16"],
+            help="selective mixed precision: run ONLY the encoder/decoder "
+                 "conv+MLP stacks in this dtype, keeping params, the "
+                 "reparameterization layers, observation heads, and all "
+                 "GP math in model_dtype (empty = off)")
         add("--data_parallel", type=int, default=0,
             help="shard subjects over this many mesh devices (0/1 = no "
                  "data axis); training stays one XLA dispatch per epoch")

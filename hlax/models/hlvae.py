@@ -61,6 +61,15 @@ class HLVAEConfig:
     # competitive (fwd 1.32 vs 0.88 ms is conv+rep+heads; the conv share
     # is near-parity).
     fused_conv: bool = False
+    # Selective mixed precision: when set (e.g. jnp.bfloat16), ONLY the
+    # encoder/decoder conv+MLP stacks compute in this dtype — parameters,
+    # masking/normalization, the mean/log_var layers (reparameterization),
+    # and the observation heads (likelihood theta) all stay in ``dtype``.
+    # This targets where the MXU FLOPs are while keeping every path the
+    # full-bf16 quality A/B implicated (Gaussian-NLL variance calibration,
+    # QUALITY.md) at full precision.  None = single-dtype model (default;
+    # the all-bf16 ``dtype=bfloat16`` option also remains).
+    compute_dtype: object = None
 
     @property
     def n_raw(self) -> int:
@@ -137,13 +146,15 @@ class _ConvParams(nn.Module):
 
 class _MLP(nn.Module):
     features: Sequence[int]
-    dtype: object
+    dtype: object                 # compute dtype (flax promotes inputs to it)
+    param_dtype: object = None    # storage dtype; None = same as compute
 
     @nn.compact
     def __call__(self, x):
+        pdt = self.param_dtype if self.param_dtype is not None else self.dtype
         for f in self.features:
             x = nn.Dense(f, kernel_init=_INIT, bias_init=_INIT,
-                         dtype=self.dtype, param_dtype=self.dtype)(x)
+                         dtype=self.dtype, param_dtype=pdt)(x)
             x = nn.relu(x)
         return x
 
@@ -170,18 +181,22 @@ class HLVAE(nn.Module):
             self._rep_w, self._rep_b = rep_w, rep_b
             self.conv1 = _ConvParams((3, 3, 1, 16), dt)
             self.conv2 = _ConvParams((3, 3, 16, 32), dt)
-        self.enc_mlp = _MLP(cfg.h_dims, dt)
+        cdt = cfg.compute_dtype if cfg.compute_dtype is not None else dt
+        self.enc_mlp = _MLP(cfg.h_dims, cdt, param_dtype=dt)
+        # mean/log_var stay full precision: they parameterize the
+        # reparameterization draw and the KL (dtype=dt promotes the cdt
+        # hidden activations back up inside the layer)
         self.mean_layer = nn.Dense(cfg.z_dim, kernel_init=_INIT, bias_init=_INIT,
                                    dtype=dt, param_dtype=dt)
         self.log_var_layer = nn.Dense(cfg.z_dim, kernel_init=_INIT, bias_init=_INIT,
                                       dtype=dt, param_dtype=dt)
 
         # --- decoder ---------------------------------------------------
-        self.dec_mlp = _MLP(tuple(reversed(cfg.h_dims)), dt)
+        self.dec_mlp = _MLP(tuple(reversed(cfg.h_dims)), cdt, param_dtype=dt)
         feat = cfg.image_side // 4   # 36 -> 9 after two stride-2 pools
         y_out = 32 * feat * feat if cfg.conv else lay.n_raw * cfg.y_dim
         self.y_layer = nn.Dense(y_out, kernel_init=_INIT, bias_init=_INIT,
-                                dtype=dt, param_dtype=dt)
+                                dtype=cdt, param_dtype=dt)
         if cfg.conv:
             self.deconv1 = _ConvParams((4, 4, 32, 16), dt)
             self.deconv2 = _ConvParams((4, 4, 16, cfg.y_dim), dt)
@@ -258,15 +273,17 @@ class HLVAE(nn.Module):
             img = one_to_one[:, jnp.asarray(lay.raw_inv)]
             s = cfg.image_side
             img = img.reshape(-1, s, s, 1)
+            cdt = cfg.compute_dtype if cfg.compute_dtype is not None else cfg.dtype
+            img = img.astype(cdt)
+            k1, b1 = self.conv1.kernel.astype(cdt), self.conv1.bias.astype(cdt)
+            k2, b2 = self.conv2.kernel.astype(cdt), self.conv2.bias.astype(cdt)
             if cfg.fused_conv:
-                h = cf.conv_pool_fused(img, self.conv1.kernel, self.conv1.bias)
-                h = cf.conv_pool_fused(h, self.conv2.kernel, self.conv2.bias)
+                h = cf.conv_pool_fused(img, k1, b1)
+                h = cf.conv_pool_fused(h, k2, b2)
             else:
-                h = nn.relu(cf.conv3x3_same(img, self.conv1.kernel,
-                                            self.conv1.bias))
+                h = nn.relu(cf.conv3x3_same(img, k1, b1))
                 h = _max_pool_2x2(h)
-                h = nn.relu(cf.conv3x3_same(h, self.conv2.kernel,
-                                            self.conv2.bias))
+                h = nn.relu(cf.conv3x3_same(h, k2, b2))
                 h = _max_pool_2x2(h)
             enc_in = h.reshape(h.shape[0], -1)
         else:
@@ -287,21 +304,23 @@ class HLVAE(nn.Module):
         h = self.dec_mlp(z)
         y = self.y_layer(h)
         if cfg.conv:
+            cdt = cfg.compute_dtype if cfg.compute_dtype is not None else cfg.dtype
+            k1, b1 = self.deconv1.kernel.astype(cdt), self.deconv1.bias.astype(cdt)
+            k2, b2 = self.deconv2.kernel.astype(cdt), self.deconv2.bias.astype(cdt)
             feat = cfg.image_side // 4
             y = y.reshape(-1, feat, feat, 32)
             if cfg.fused_conv:
-                y = nn.relu(cf.conv_transpose_fused(
-                    y, self.deconv1.kernel, self.deconv1.bias))
-                y = cf.conv_transpose_fused(
-                    y, self.deconv2.kernel, self.deconv2.bias)
+                y = nn.relu(cf.conv_transpose_fused(y, k1, b1))
+                y = cf.conv_transpose_fused(y, k2, b2)
             else:
-                y = nn.relu(cf.conv_transpose4x4_s2(
-                    y, self.deconv1.kernel, self.deconv1.bias))
-                y = cf.conv_transpose4x4_s2(
-                    y, self.deconv2.kernel, self.deconv2.bias)   # [B,36,36,y]
+                y = nn.relu(cf.conv_transpose4x4_s2(y, k1, b1))
+                y = cf.conv_transpose4x4_s2(y, k2, b2)           # [B,36,36,y]
+            # heads/likelihood theta stay full precision from here on
+            y = y.astype(cfg.dtype)
             y = y.reshape(y.shape[0], -1, cfg.y_dim)   # original pixel order
             y = y[:, jnp.asarray(cfg.layout.raw_perm), :]   # -> grouped order
         else:
+            y = y.astype(cfg.dtype)
             y = y.reshape(y.shape[0], cfg.layout.n_raw, cfg.y_dim)
         return y
 

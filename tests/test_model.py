@@ -188,3 +188,59 @@ def test_reshape_max_pool_matches_reduce_window():
     g_new = jax.grad(s_new)(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_mixed_precision_policy_conv():
+    """compute_dtype=bfloat16 runs ONLY the conv+MLP stacks in bf16:
+    parameters and every model output stay float32, the same param tree is
+    interchangeable between policy-on and policy-off models, and outputs
+    agree to bf16 tolerance (the policy reorders no math, it only lowers
+    the matmul compute dtype)."""
+    types = ([{"type": "real", "dim": 1, "nclass": 1}] * 324
+             + [{"type": "cat", "dim": 1, "nclass": 5}] * 972)
+    n = 4
+    raw = np.column_stack([
+        RNG.random((n, 324)) * 255,
+        RNG.integers(0, 5, (n, 972)).astype(float),
+    ])
+    ds = encode_raw(raw, types)
+    kw = dict(layout=ds.layout, z_dim=8, h_dims=(32,), y_dim=5,
+              conv=True, dtype=jnp.float32)
+    m32 = HLVAE(HLVAEConfig(**kw))
+    mmx = HLVAE(HLVAEConfig(**kw, compute_dtype=jnp.bfloat16))
+    key = jax.random.PRNGKey(0)
+    data = jnp.array(ds.data, jnp.float32)
+    mask = jnp.array(ds.mask, jnp.float32)
+    tmask = jnp.array(ds.theta_mask, jnp.float32)
+
+    p32 = m32.init(key, data, mask, tmask, key)
+    pmx = mmx.init(key, data, mask, tmask, key)
+    # identical param trees (same names, f32 storage, same init draws)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), p32, pmx)
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(pmx))
+
+    out32 = m32.apply(p32, data, mask, tmask, key)
+    outmx = mmx.apply(p32, data, mask, tmask, key)
+    # boundary contract: likelihood inputs/outputs are full precision
+    assert outmx["log_p_x"].dtype == jnp.float32
+    assert outmx["mu"].dtype == jnp.float32
+    # same math at bf16 matmul tolerance
+    np.testing.assert_allclose(np.asarray(outmx["mu"]),
+                               np.asarray(out32["mu"]), rtol=0.1, atol=0.05)
+    lp32, lpmx = np.asarray(out32["log_p_x"]), np.asarray(outmx["log_p_x"])
+    assert np.isfinite(lpmx).all()
+    np.testing.assert_allclose(
+        lpmx, lp32, rtol=0.15, atol=0.3 + 0.05 * np.abs(lp32).max())
+
+    def loss(p, k):
+        out = mmx.apply(p, data, mask, tmask, k)
+        return jnp.sum(nll_from_log_p(out["log_p_x"]))
+
+    g = jax.grad(loss)(p32, key)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)
