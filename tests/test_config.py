@@ -63,3 +63,15 @@ def test_warm_start_candidates():
         "/pre/", "/tmp/run/pre/"]
     # relative value: concatenation only
     assert warm_start_candidates("pre/", "/tmp/run") == ["/tmp/runpre/"]
+
+
+def test_compute_dtype_flag_plumbs_to_model_config():
+    """--compute_dtype parses (off by default) and _resolve_dtype maps it
+    to the jnp dtype HLVAEConfig.compute_dtype expects."""
+    import jax.numpy as jnp
+    from hlax.cli.main import _resolve_dtype
+
+    opt = ModelArgs().parse_options([])
+    assert opt["compute_dtype"] == ""           # policy off by default
+    opt = ModelArgs().parse_options(["--compute_dtype=bfloat16"])
+    assert _resolve_dtype(opt["compute_dtype"]) == jnp.bfloat16
